@@ -1,0 +1,20 @@
+from .equilibrium import (QuadraticEquilibrium,
+                          QuadraticEquilibriumLessMemory,
+                          IncompressibleQuadraticEquilibrium)
+from .collision import (Collision, BGKCollision, NoCollision, TRTCollision,
+                        MRTCollision, RegularizedCollision, KBCCollision,
+                        KBCCollision2D, KBCCollision3D, SmagorinskyCollision)
+from .boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
+                       AntiBounceBackOutlet, EquilibriumOutletP)
+from .force import Force, Guo, ShanChen
+from .streaming import stream
+
+__all__ = [
+    "QuadraticEquilibrium", "QuadraticEquilibriumLessMemory",
+    "IncompressibleQuadraticEquilibrium",
+    "Collision", "BGKCollision", "NoCollision", "TRTCollision",
+    "MRTCollision", "RegularizedCollision", "KBCCollision",
+    "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision",
+    "BounceBackBoundary", "EquilibriumBoundaryPU", "AntiBounceBackOutlet",
+    "EquilibriumOutletP", "Force", "Guo", "ShanChen", "stream",
+]

@@ -1,0 +1,212 @@
+"""Boundary conditions.
+
+Parity with ``/root/reference/lettuce/ext/_boundary/``: BounceBackBoundary,
+EquilibriumBoundaryPU, AntiBounceBackOutlet, EquilibriumOutletP.
+
+A boundary's ``__call__(flow)`` returns a full replacement field; the
+Simulation composes it pointwise with
+``where(no_collision_mask == index, replacement, f)`` — identical semantics
+to the reference (``_simulation.py:177-189``). Everything is functional
+(``f.at[...].set`` instead of in-place writes), so the operators trace under
+``jax.jit`` and differentiate under ``jax.grad``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flow import Boundary, Flow
+
+__all__ = ["BounceBackBoundary", "EquilibriumBoundaryPU",
+           "AntiBounceBackOutlet", "EquilibriumOutletP"]
+
+
+class BounceBackBoundary(Boundary):
+    """Full-way bounce back: f -> f[opposite] on masked solid nodes
+    (reference ``bounce_back_boundary.py:10-32``)."""
+
+    def __init__(self, mask):
+        self._mask = mask
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        return flow.f[np.asarray(flow.stencil.opposite)]
+
+    def make_no_streaming_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        return None
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        return context.convert_to_tensor(self._mask, dtype=bool)
+
+    def native_available(self) -> bool:
+        return True
+
+    def native_fragment(self, index: int):
+        def fragment(st, f_post, f_pre, mask):
+            # bounce back uses PRE-collision populations, mirroring the
+            # reference pipeline where boundaries see the original f on
+            # their own nodes (no_collision_mask keeps collision off them)
+            return jnp.where(mask == index, f_pre[np.asarray(st.opposite)],
+                             f_post)
+        return fragment
+
+
+class EquilibriumBoundaryPU(Boundary):
+    """Fix f to the equilibrium of a prescribed physical-units velocity and
+    pressure (inflow / moving wall); reference
+    ``equilibrium_boundary_pu.py:13-46``. Velocity/pressure may be scalars,
+    ``[d]`` vectors, or per-node fields (broadcast-aware, as the reference's
+    native path ``cuda_native/ext/_boundary/equilibrium_pu.py:16-97``)."""
+
+    def __init__(self, context: "Context", mask, velocity, pressure=0):
+        velocity = [velocity] if not hasattr(velocity, "__len__") \
+            else velocity
+        self.velocity = context.convert_to_tensor(
+            np.asarray(velocity, dtype=np.float64))
+        self.pressure = context.convert_to_tensor(
+            np.asarray(pressure, dtype=np.float64))
+        self._mask = mask
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        rho = flow.units.convert_pressure_pu_to_density_lu(self.pressure)
+        u = flow.units.convert_velocity_to_lu(self.velocity)
+        feq = flow.equilibrium(flow, rho, u)
+        # broadcast to the full field shape
+        return jnp.broadcast_to(
+            feq.reshape(feq.shape + (1,) * (flow.f.ndim - feq.ndim)),
+            flow.f.shape)
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        return context.convert_to_tensor(self._mask, dtype=bool)
+
+    def make_no_streaming_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        return None
+
+    def native_available(self) -> bool:
+        return True
+
+    def native_fragment(self, index: int):
+        def fragment(st, f_post, f_pre, mask, feq_b):
+            return jnp.where(mask == index, feq_b, f_post)
+        return fragment
+
+
+class AntiBounceBackOutlet(Boundary):
+    """Open outlet via anti-bounce-back on one domain face (Krueger et al.
+    2016, p.195; reference ``anti_bounce_back_outlet.py:13-109``).
+
+    ``direction`` is a unit-ish list like ``[1, 0]`` / ``[0, 0, -1]``
+    selecting the face. Wall velocity is linearly extrapolated from the
+    neighbouring plane; the opposite incoming directions get a no-streaming
+    mask so they are frozen before replacement.
+    """
+
+    def __init__(self, direction: List[int], flow: "Flow",
+                 collision: "Collision" = None):
+        assert len(direction) in [1, 2, 3], \
+            (f"Invalid direction parameter. Expected direction of length "
+             f"1, 2 or 3 but got {len(direction)}.")
+        assert ((direction.count(0) == (len(direction) - 1))
+                and ((1 in direction) ^ (-1 in direction))), \
+            (f"Invalid direction parameter. Expected direction with all "
+             f"entries 0 except one 1 or -1 but got {direction}.")
+
+        self.stencil = flow.torch_stencil
+        self.direction = list(direction)
+
+        e = np.asarray(flow.stencil.e)
+        # velocities pointing out of the domain through this face
+        self.velocities = np.where(e @ np.asarray(direction) > 1 - 1e-6)[0]
+
+        # face/neighbour index tuples into the grid axes
+        self.index = []
+        self.neighbor = []
+        for i in direction:
+            if i == 0:
+                self.index.append(slice(None))
+                self.neighbor.append(slice(None))
+            if i == 1:
+                self.index.append(-1)
+                self.neighbor.append(-2)
+            if i == -1:
+                self.index.append(0)
+                self.neighbor.append(1)
+
+        w = np.asarray(flow.stencil.w)[self.velocities]
+        # weights broadcast over the remaining face axes
+        self.w = jnp.asarray(
+            w.reshape((-1,) + (1,) * (len(direction) - 1)),
+            dtype=flow.context.dtype)
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        u = flow.u()
+        face = tuple([slice(None)] + self.index)
+        nbr = tuple([slice(None)] + self.neighbor)
+        u_w = u[face] + 0.5 * (u[face] - u[nbr])  # [d, *face_res]
+
+        e_sel = self.stencil.e[self.velocities]   # [k, d]
+        eu = jnp.tensordot(e_sel, u_w, axes=1)    # [k, *face_res]
+        unorm2 = jnp.sum(u_w * u_w, axis=0)       # [*face_res]
+        cs = self.stencil.cs
+        rho_face = flow.rho()[face]               # [1?, *face_res] -> squeeze
+        replacement = (-flow.f[tuple([self.velocities] + self.index)]
+                       + self.w * rho_face
+                       * (2 + eu ** 2 / cs ** 4 - unorm2 / cs ** 2))
+        opposite = np.asarray(flow.stencil.opposite)[self.velocities]
+        return flow.f.at[tuple([opposite] + self.index)].set(replacement)
+
+    def make_no_streaming_mask(self, f_shape, context: "Context"):
+        mask = np.zeros(tuple(f_shape), dtype=bool)
+        opposite = np.asarray(
+            context.convert_to_ndarray(self.stencil.opposite)
+        )[self.velocities]
+        mask[tuple([opposite] + self.index)] = True
+        return context.convert_to_tensor(mask)
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"):
+        mask = np.zeros(tuple(shape), dtype=bool)
+        mask[tuple(self.index)] = True
+        return context.convert_to_tensor(mask)
+
+
+class EquilibriumOutletP(AntiBounceBackOutlet):
+    """Constant-pressure equilibrium outlet (reference
+    ``equilibrium_outlet_p.py:12-91``): the face is set to
+    feq(rho_outlet, u_neighbor); all non-outgoing directions get a
+    no-streaming mask on the face."""
+
+    def __init__(self, direction: List[int], flow: "Flow",
+                 rho_outlet: float = 1.0):
+        super().__init__(direction, flow)
+        self.context = flow.context
+        self.rho_outlet = flow.context.convert_to_tensor(rho_outlet)
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        face = tuple([slice(None)] + self.index)
+        nbr = tuple([slice(None)] + self.neighbor)
+        rho = flow.rho()
+        u = flow.u()
+        rho_w = self.rho_outlet * jnp.ones_like(rho[face])
+        u_w = u[nbr]
+        feq_face = flow.equilibrium(flow, rho_w[..., None], u_w[..., None]
+                                    )[..., 0]
+        return flow.f.at[face].set(feq_face)
+
+    def make_no_streaming_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        mask = np.zeros(tuple(shape), dtype=bool)
+        complement = np.setdiff1d(np.arange(shape[0]), self.velocities)
+        mask[tuple([complement] + self.index)] = True
+        return context.convert_to_tensor(mask)
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"):
+        mask = np.zeros(tuple(shape), dtype=bool)
+        mask[tuple(self.index)] = True
+        return context.convert_to_tensor(mask)

@@ -1,0 +1,219 @@
+"""Spatial domain decomposition across a TPU mesh.
+
+This is a NEW capability the reference lacks entirely (it is single-device;
+see ``/root/reference/lettuce/_context.py:17-51`` — no distributed layer
+exists). It is the CFD analog of data parallelism: the ``[q, *grid]`` state
+is sharded over one or more *grid* axes of a ``jax.sharding.Mesh``, and the
+periodic streaming of the reference (``torch.roll``,
+``_simulation.py:160-162``) becomes local rolls plus one-plane halo exchange
+via ``jax.lax.ppermute`` — riding ICI within a slice.
+
+Design: collision, equilibria and the mask composition are pointwise in
+space, so they run unchanged on local shards inside ``shard_map``. Only
+streaming communicates. Face-slicing boundaries (AntiBounceBackOutlet /
+EquilibriumOutletP) index global faces and are not yet supported under
+sharding; shard the other axes instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.boundary import AntiBounceBackOutlet
+
+__all__ = ["DomainDecomposition", "sharded_stream"]
+
+
+def _ring_perm(n: int, shift: int):
+    """Source->destination pairs moving data `shift` steps around a ring."""
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def roll_sharded(x: jax.Array, shift: int, axis: int, axis_name: str,
+                 axis_size: int) -> jax.Array:
+    """Periodic roll of a globally-sharded array along a sharded axis.
+
+    Equivalent to ``jnp.roll(global_x, shift, axis)`` for ``|shift| == 1``:
+    roll locally, then replace the wrapped-in face with the neighbour's face
+    received over ICI.
+    """
+    if shift == 0:
+        return x
+    assert shift in (-1, 1), "streaming shifts are +-1 plane"
+    size = x.shape[axis]
+    if shift == 1:
+        # my last plane goes to my right neighbour's first plane
+        send = jax.lax.slice_in_dim(x, size - 1, size, axis=axis)
+        recv = jax.lax.ppermute(send, axis_name,
+                                _ring_perm(axis_size, 1))
+        body = jax.lax.slice_in_dim(x, 0, size - 1, axis=axis)
+        return jnp.concatenate([recv, body], axis=axis)
+    else:
+        # my first plane goes to my left neighbour's last plane
+        send = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        recv = jax.lax.ppermute(send, axis_name,
+                                _ring_perm(axis_size, -1))
+        body = jax.lax.slice_in_dim(x, 1, size, axis=axis)
+        return jnp.concatenate([body, recv], axis=axis)
+
+
+def sharded_stream(f: jax.Array, e: np.ndarray,
+                   sharded_axes: dict,
+                   no_streaming_mask: Optional[jax.Array] = None
+                   ) -> jax.Array:
+    """Streaming with halo exchange: ``sharded_axes`` maps grid-axis index
+    (0-based, excluding the leading q axis) to ``(axis_name, axis_size)``.
+
+    Shifts are applied axis-by-axis; each sharded-axis roll performs its own
+    one-plane ppermute, so diagonal velocities crossing two shard boundaries
+    are handled by composition.
+    """
+    e = np.asarray(e)
+    q, d = e.shape
+    out = [f[0]]
+    for i in range(1, q):
+        fi = f[i]
+        for a in range(d):
+            s = int(e[i, a])
+            if s == 0:
+                continue
+            if a in sharded_axes:
+                name, size = sharded_axes[a]
+                fi = roll_sharded(fi, s, a, name, size)
+            else:
+                fi = jnp.roll(fi, s, axis=a)
+        out.append(fi)
+    streamed = jnp.stack(out)
+    if no_streaming_mask is not None:
+        streamed = jnp.where(no_streaming_mask, f, streamed)
+    return streamed
+
+
+class DomainDecomposition:
+    """Shard the simulation grid over a device mesh.
+
+    Parameters
+    ----------
+    mesh_shape:
+        Devices per sharded grid axis, e.g. ``(8,)`` to split the x axis
+        over 8 chips, ``(4, 2)`` to split x and y.
+    grid_axes:
+        Which spatial axes to shard (default: the first ``len(mesh_shape)``).
+    devices:
+        Optional explicit device list (defaults to ``jax.devices()``).
+    """
+
+    def __init__(self, mesh_shape: Sequence[int],
+                 grid_axes: Optional[Sequence[int]] = None,
+                 devices=None):
+        mesh_shape = tuple(int(n) for n in mesh_shape)
+        if grid_axes is None:
+            grid_axes = tuple(range(len(mesh_shape)))
+        assert len(grid_axes) == len(mesh_shape)
+        self.grid_axes = tuple(grid_axes)
+        self.axis_names = tuple(f"lt_ax{a}" for a in self.grid_axes)
+
+        if devices is None:
+            devices = jax.devices()
+        n = int(np.prod(mesh_shape))
+        assert len(devices) >= n, \
+            f"need {n} devices, have {len(devices)}"
+        dev_array = np.asarray(devices[:n]).reshape(mesh_shape)
+        self.mesh = Mesh(dev_array, self.axis_names)
+        self.mesh_shape = mesh_shape
+
+    # ------------------------------------------------------------------
+    def f_spec(self, d: int) -> P:
+        """PartitionSpec for an [q, *grid] array."""
+        parts = [None] * (d + 1)
+        for a, name in zip(self.grid_axes, self.axis_names):
+            parts[a + 1] = name
+        return P(*parts)
+
+    def grid_spec(self, d: int) -> P:
+        parts = [None] * d
+        for a, name in zip(self.grid_axes, self.axis_names):
+            parts[a] = name
+        return P(*parts)
+
+    def shard_f(self, f: jax.Array) -> jax.Array:
+        d = f.ndim - 1
+        return jax.device_put(
+            f, NamedSharding(self.mesh, self.f_spec(d)))
+
+    def shard_grid_array(self, x: jax.Array) -> jax.Array:
+        return jax.device_put(
+            x, NamedSharding(self.mesh, self.grid_spec(x.ndim)))
+
+    # ------------------------------------------------------------------
+    def shard_step(self, simulation: "Simulation"):
+        """Build the shard_mapped collide-and-stream step for a Simulation.
+
+        Collision, equilibria and the mask-coded boundary composition are
+        pointwise in space, so they run unchanged on local shards; only the
+        streaming communicates (one-plane ppermute per sharded axis).
+        """
+        from ._shard_map_compat import shard_map
+
+        flow = simulation.flow
+        collision = simulation.collision
+        boundaries = simulation.boundaries  # [None] + sorted, index == code
+        for b in boundaries[1:]:
+            assert not isinstance(b, AntiBounceBackOutlet), \
+                ("face-slicing boundaries (AntiBounceBackOutlet/"
+                 "EquilibriumOutletP) are not supported under sharding yet; "
+                 "shard the other grid axes instead")
+
+        d = flow.stencil.d
+        for idx, a in enumerate(self.grid_axes):
+            assert flow.resolution[a] % self.mesh_shape[idx] == 0, \
+                "resolution must divide evenly across the mesh"
+
+        sharded_axes = {a: (name, size) for a, name, size in
+                        zip(self.grid_axes, self.axis_names,
+                            self.mesh_shape)}
+
+        fspec = self.f_spec(d)
+        ncm = simulation.no_collision_mask
+        nsm = simulation.no_streaming_mask
+        has_ncm = ncm is not None
+        has_nsm = nsm is not None
+
+        def local_step(f, ncm_in, nsm_in):
+            ncm_l = ncm_in if has_ncm else None
+            nsm_l = nsm_in if has_nsm else None
+            # collide (pointwise -> valid on local shards)
+            if ncm_l is None:
+                f_post = collision(flow.view(f))
+                for b in boundaries[1:]:
+                    f_post = b(flow.view(f_post))
+            else:
+                f_post = jnp.where(ncm_l == 0, collision(flow.view(f)), f)
+                for i, b in enumerate(boundaries[1:], start=1):
+                    f_post = jnp.where(ncm_l == i, b(flow.view(f_post)),
+                                       f_post)
+            # stream with halo exchange
+            return sharded_stream(f_post, flow.stencil.e, sharded_axes,
+                                  nsm_l)
+
+        in_specs = (fspec,
+                    self.grid_spec(d) if has_ncm else P(),
+                    fspec if has_nsm else P())
+        mapped = shard_map(local_step, mesh=self.mesh,
+                           in_specs=in_specs, out_specs=fspec)
+
+        ncm_arg = self.shard_grid_array(ncm) if has_ncm \
+            else jnp.zeros((), dtype=jnp.uint8)
+        nsm_arg = self.shard_f(nsm) if has_nsm \
+            else jnp.zeros((), dtype=bool)
+
+        def step(f):
+            return mapped(f, ncm_arg, nsm_arg)
+
+        return step

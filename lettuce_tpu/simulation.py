@@ -1,0 +1,208 @@
+"""Simulation driver: mask construction, step-path selection, step loop.
+
+Parity with the reference ``Simulation`` (``/root/reference/lettuce/
+_simulation.py:41-207``): boundary masks are uint8 index-coded
+(``no_collision_mask``) plus a per-(q, node) ``no_streaming_mask``; collision
+and each boundary are composed pointwise with ``where``; calling the
+simulation runs ``num_steps`` and returns MLUPS.
+
+TPU-first differences:
+  * the per-step Python loop becomes a single jitted ``lax.fori_loop`` —
+    steps between reporter stops never touch the host;
+  * the "native" path is the fused Pallas stream-collide kernel selected by
+    capability probes (``native_available``), replacing the reference's
+    runtime CUDA codegen + setup.py install (``_simulation.py:98-148``).
+    XLA's compilation cache replaces the ``lettuce_native_<hash>`` module
+    cache;
+  * with a ``DomainDecomposition``, the same step runs under ``shard_map``
+    over a device mesh with halo exchange on ICI.
+"""
+
+from __future__ import annotations
+
+import warnings
+from abc import ABC, abstractmethod
+from timeit import default_timer as timer
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .flow import Boundary, Flow
+from .ops.collision import Collision
+from .ops.streaming import stream
+
+__all__ = ["Collision", "Reporter", "Simulation"]
+
+
+class Reporter(ABC):
+    """Interval callback protocol (reference ``_simulation.py:30-38``)."""
+
+    interval: int
+
+    def __init__(self, interval: int):
+        self.interval = interval
+
+    @abstractmethod
+    def __call__(self, simulation: "Simulation"):
+        ...
+
+
+def _gcd_interval(reporters: List["Reporter"]) -> Optional[int]:
+    intervals = [max(1, int(r.interval)) for r in reporters]
+    if not intervals:
+        return None
+    g = intervals[0]
+    for i in intervals[1:]:
+        g = np.gcd(g, i)
+    return int(g)
+
+
+class Simulation:
+    """Orchestrates masks, step-path selection and the step loop."""
+
+    def __init__(self, flow: "Flow", collision: "Collision",
+                 reporter: List["Reporter"],
+                 decomposition: Optional["DomainDecomposition"] = None):
+        self.flow = flow
+        self.flow.collision = collision
+        self.context = flow.context
+        self.collision = collision
+        self.reporter = reporter
+        self.decomposition = decomposition
+        self.boundaries = ([None]
+                           + sorted(flow.boundaries, key=lambda b: str(b)))
+
+        # ---------------- masks (reference :60-86) ----------------
+        self.no_collision_mask = None
+        self.no_streaming_mask = None
+        if len(self.boundaries) > 1:
+            ncm = np.zeros(tuple(flow.resolution), dtype=np.uint8)
+            nsm = np.zeros((flow.stencil.q, *flow.resolution), dtype=bool)
+            for i, boundary in enumerate(self.boundaries[1:], start=1):
+                m = boundary.make_no_collision_mask(
+                    list(flow.resolution), context=self.context)
+                if m is not None:
+                    ncm[np.asarray(m, dtype=bool)] = i
+                s = boundary.make_no_streaming_mask(
+                    [flow.stencil.q, *flow.resolution], context=self.context)
+                if s is not None:
+                    nsm |= np.asarray(s, dtype=bool)
+            self.no_collision_mask = self.context.convert_to_tensor(ncm)
+            self.no_streaming_mask = self.context.convert_to_tensor(nsm)
+
+        # ---------------- step-path selection ----------------
+        self._step = self._build_jnp_step()
+        self._step_kind = "jnp"
+        if self.context.use_native:
+            native_step = self._try_build_native_step()
+            if native_step is not None:
+                self._step = native_step
+                self._step_kind = "pallas"
+
+        if self.decomposition is not None:
+            self._step = self.decomposition.shard_step(self)
+            self._step_kind = "sharded"
+            self.flow.f = self.decomposition.shard_f(self.flow.f)
+
+        self._compiled_run = jax.jit(self._run_steps, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    # step construction
+    # ------------------------------------------------------------------
+    def _step_jnp_body(self, f: jax.Array,
+                       no_collision_mask=None,
+                       no_streaming_mask=None) -> jax.Array:
+        """One collide-and-stream step as a pure function. The mask
+        arguments allow the sharded path to pass per-shard masks."""
+        flow = self.flow
+        ncm = (self.no_collision_mask if no_collision_mask is None
+               else no_collision_mask)
+        nsm = (self.no_streaming_mask if no_streaming_mask is None
+               else no_streaming_mask)
+        if ncm is None:
+            f = self.collision(flow.view(f))
+            for boundary in self.boundaries[1:]:
+                f = boundary(flow.view(f))
+        else:
+            f = jnp.where(ncm == 0, self.collision(flow.view(f)), f)
+            for i, boundary in enumerate(self.boundaries[1:], start=1):
+                f = jnp.where(ncm == i, boundary(flow.view(f)), f)
+        return stream(f, self.flow.stencil.e, nsm)
+
+    def _build_jnp_step(self):
+        return lambda f: self._step_jnp_body(f)
+
+    def _try_build_native_step(self):
+        """Build the fused Pallas stream-collide step if every component
+        supports it; otherwise print a warning per unsupported component and
+        return None (mirrors reference ``_simulation.py:100-115``)."""
+        ok = True
+        if (self.flow.equilibrium is not None
+                and not self.flow.equilibrium.native_available()):
+            print(f"native was requested, but equilibrium "
+                  f"'{type(self.flow.equilibrium).__name__}' does not "
+                  f"support the fused Pallas kernel.")
+            ok = False
+        if not self.collision.native_available():
+            print(f"native was requested, but collision "
+                  f"'{type(self.collision).__name__}' does not support the "
+                  f"fused Pallas kernel.")
+            ok = False
+        for boundary in self.boundaries[1:]:
+            if not boundary.native_available():
+                print(f"native was requested, but boundary "
+                      f"'{type(boundary).__name__}' does not support the "
+                      f"fused Pallas kernel.")
+                ok = False
+        if not ok:
+            return None
+        try:
+            from .ops.pallas import build_fused_step
+            return build_fused_step(self)
+        except NotImplementedError:
+            return None
+
+    def _run_steps(self, f: jax.Array, n) -> jax.Array:
+        return jax.lax.fori_loop(0, n, lambda _, fi: self._step(fi), f)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def step(self, num_steps: int):
+        warnings.warn("Simulation.step() is deprecated; call the simulation "
+                      "directly: simulation(num_steps)", DeprecationWarning)
+        return self(num_steps)
+
+    @property
+    def units(self):
+        return self.flow.units
+
+    def _report(self):
+        for reporter in self.reporter:
+            reporter(self)
+
+    def __call__(self, num_steps: int) -> float:
+        beg = timer()
+
+        if self.flow.i == 0:
+            self._report()
+
+        g = _gcd_interval(self.reporter)
+        remaining = int(num_steps)
+        while remaining > 0:
+            if g is None:
+                n = remaining
+            else:
+                n = min(g - (self.flow.i % g) or g, remaining)
+            self.flow.f = self._compiled_run(self.flow.f, n)
+            self.flow.i += n
+            remaining -= n
+            if g is not None:
+                self._report()
+
+        jax.block_until_ready(self.flow.f)
+        end = timer()
+        return (num_steps * float(np.prod(self.flow.resolution))
+                / 1e6 / (end - beg))

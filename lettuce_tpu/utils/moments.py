@@ -1,0 +1,256 @@
+"""Moment transforms for MRT-type collisions.
+
+Parity with reference ``/root/reference/lettuce/util/moments.py``:
+``moment_tensor``, ``get_default_moment_transform``, the ``Transform``
+protocol and the concrete D1Q3 (natural moments), D2Q9 Lallemand, D2Q9
+Dellar and D3Q27 Hermite transforms.
+
+Unlike the reference (hand-typed rational matrices), every matrix here is
+*generated* from its defining polynomial basis evaluated on the stencil
+velocities, and the inverse is computed numerically — same values, no
+transcription risk:
+
+  * D1Q3: natural moments e^0, e^1, e^2;
+  * D2Q9 Lallemand & Luo (2000): [1, ex, ey, ex^2-ey^2, ex ey,
+    -4+3|e|^2, (-5+3|e|^2) ex, (-5+3|e|^2) ey, 4 - 21/2 |e|^2 + 9/2 |e|^4];
+  * D2Q9 Dellar (2002): [1, ex, ey, (9 ex^2 - 3)/2, 9 ex ey,
+    (9 ey^2 - 3)/2, N(|e|^2), (6|e|^2 - 8) ex, (6|e|^2 - 8) ey];
+  * D3Q27 Hermite: tensor products of H0 = 1, H1 = e, H2 = e^2 - cs^2.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..stencil import D1Q3, D2Q9, D3Q27, Stencil
+from .utility import InefficientCodeWarning, LettuceException, \
+    ExperimentalWarning
+
+__all__ = ["moment_tensor", "get_default_moment_transform", "Transform",
+           "D1Q3Transform", "D2Q9Lallemand", "D2Q9Dellar", "D3Q27Hermite"]
+
+
+def moment_tensor(e, multiindex):
+    """prod_a e_a^multiindex_a for each (multiindex row, velocity)."""
+    e = np.asarray(e)
+    multiindex = np.asarray(multiindex)
+    return np.prod(np.power(e, multiindex[..., None, :]), axis=-1)
+
+
+def get_default_moment_transform(stencil: "Stencil", context: "Context"):
+    if stencil == D1Q3 or isinstance(stencil, D1Q3):
+        return D1Q3Transform(stencil if isinstance(stencil, Stencil)
+                             else stencil(), context)
+    if stencil == D2Q9 or isinstance(stencil, D2Q9):
+        return D2Q9Lallemand(stencil if isinstance(stencil, Stencil)
+                             else stencil(), context)
+    raise LettuceException(
+        f"No default moment transform for lattice {stencil}.")
+
+
+class Transform:
+    """Moment (or cumulant) transform protocol: ``transform`` /
+    ``inverse_transform`` / ``equilibrium`` (in moment space)."""
+
+    names: List[str] = None
+    supported_stencils: List[type] = []
+
+    def __init__(self, stencil: "Stencil", context: "Context" = None,
+                 names=None):
+        self.context = context
+        self.stencil = stencil
+        self.names = ([f"m{i}" for i in range(stencil.q)]
+                      if names is None else names)
+
+    def __getitem__(self, moment_names):
+        if not isinstance(moment_names, tuple):
+            moment_names = [moment_names]
+        return [self.names.index(name) for name in moment_names]
+
+    def transform(self, f):
+        return f
+
+    def inverse_transform(self, m):
+        return m
+
+    def equilibrium(self, m: jax.Array, flow: "Flow"):
+        """Fallback: roundtrip through f-space (inefficient, warns)."""
+        warnings.warn(
+            "Transform.equilibrium is a poor man's implementation of the "
+            "moment equilibrium. Please consider implementing the "
+            "equilibrium moments for your transform by hand.",
+            InefficientCodeWarning)
+        f = self.inverse_transform(m)
+        feq = flow.equilibrium(flow, flow.rho(f), flow.u(f))
+        return self.transform(feq)
+
+    def _mv(self, matrix, v):
+        return jnp.tensordot(matrix, v, axes=1)
+
+
+class _MatrixTransform(Transform):
+    """Linear transform defined by a generated moment matrix."""
+
+    def __init__(self, stencil: "Stencil", context: "Context" = None,
+                 names=None):
+        super().__init__(stencil, context, names or type(self).names)
+        matrix = self._build_matrix(np.asarray(stencil.e, dtype=np.float64))
+        inverse = np.linalg.inv(matrix)
+        dtype = context.dtype if context is not None else jnp.float64
+        self.matrix = jnp.asarray(matrix, dtype=dtype)
+        self.inverse = jnp.asarray(inverse, dtype=dtype)
+
+    @staticmethod
+    def _build_matrix(e: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def transform(self, f):
+        return self._mv(self.matrix, f)
+
+    def inverse_transform(self, m):
+        return self._mv(self.inverse, m)
+
+
+class D1Q3Transform(_MatrixTransform):
+    """Natural moments rho, j, e = e^0, e^1, e^2."""
+
+    names = ["rho", "j", "e"]
+    supported_stencils = [D1Q3]
+
+    @staticmethod
+    def _build_matrix(e):
+        ex = e[:, 0]
+        return np.stack([np.ones_like(ex), ex, ex ** 2])
+
+
+class D2Q9Dellar(_MatrixTransform):
+    """Dellar (2002) basis: rho / j / Pi / N / J."""
+
+    names = ["rho", "jx", "jy", "Pi_xx", "Pi_xy", "PI_yy", "N", "Jx", "Jy"]
+    supported_stencils = [D2Q9]
+
+    @staticmethod
+    def _build_matrix(e):
+        ex, ey = e[:, 0], e[:, 1]
+        s = ex ** 2 + ey ** 2
+        return np.stack([
+            np.ones_like(ex),
+            ex,
+            ey,
+            (9 * ex ** 2 - 3) / 2,
+            9 * ex * ey,
+            (9 * ey ** 2 - 3) / 2,
+            4.5 * s ** 2 - 7.5 * s + 1,
+            (6 * s - 8) * ex,
+            (6 * s - 8) * ey,
+        ])
+
+    def equilibrium(self, m, flow: "Flow"):
+        warnings.warn("I am not 100% sure if this equilibrium is correct.",
+                      ExperimentalWarning)
+        rho, jx, jy = m[0], m[1], m[2]
+        zeros = jnp.zeros_like(rho)
+        return jnp.stack([
+            rho, jx, jy,
+            jx * jx / rho * 9 / 2,
+            jx * jy / rho * 9,
+            jy * jy / rho * 9 / 2,
+            zeros, zeros, zeros,
+        ])
+
+
+class D2Q9Lallemand(_MatrixTransform):
+    """Classic Lallemand & Luo (2000) basis."""
+
+    names = ["rho", "jx", "jy", "pxx", "pxy", "e", "qx", "qy", "eps"]
+    supported_stencils = [D2Q9]
+
+    @staticmethod
+    def _build_matrix(e):
+        ex, ey = e[:, 0], e[:, 1]
+        s = ex ** 2 + ey ** 2
+        return np.stack([
+            np.ones_like(ex),
+            ex,
+            ey,
+            ex ** 2 - ey ** 2,
+            ex * ey,
+            -4 + 3 * s,
+            (-5 + 3 * s) * ex,
+            (-5 + 3 * s) * ey,
+            4 - 10.5 * s + 4.5 * s ** 2,
+        ])
+
+    def equilibrium(self, m, flow: "Flow"):
+        """From Lallemand and Luo."""
+        warnings.warn("I am not 100% sure if this equilibrium is correct.",
+                      ExperimentalWarning)
+        rho, jx, jy = m[0], m[1], m[2]
+        c1, alpha2, alpha3 = -2, -8, 4
+        gamma1, gamma2, gamma3, gamma4 = 2 / 3, 18, 2 / 3, -18
+        j2 = jx ** 2 + jy ** 2
+        return jnp.stack([
+            rho, jx, jy,
+            1 / 2 * gamma1 * (jx ** 2 - jy ** 2),
+            1 / 2 * gamma3 * (jx * jy),
+            1 / 4 * alpha2 * rho + 1 / 6 * gamma2 * j2,
+            1 / 2 * c1 * jx,
+            1 / 2 * c1 * jy,
+            1 / 4 * alpha3 * rho + 1 / 6 * gamma4 * j2,
+        ])
+
+
+# multi-index order of the reference's 27 Hermite moments
+_HERMITE_MULTIINDICES = [
+    (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2),
+    (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1), (1, 0, 2), (0, 2, 1),
+    (0, 1, 2),
+    (2, 2, 0), (2, 1, 1), (2, 0, 2), (1, 2, 1), (1, 1, 2), (0, 2, 2),
+    (2, 2, 1), (2, 1, 2), (1, 2, 2), (2, 2, 2),
+]
+
+
+class D3Q27Hermite(_MatrixTransform):
+    """Tensor-Hermite moments: products of H0=1, H1=e, H2=e^2 - cs^2."""
+
+    names = ['rho', 'jx', 'jy', 'jz',
+             'Pi_xx', 'Pi_xy', 'PI_xz', 'PI_yy', 'PI_yz', 'PI_zz',
+             'J_xxy', 'J_xxz', 'J_xyy', 'J_xyz', 'J_xzz', 'J_yyz', 'J_yzz',
+             'J_xxyy', 'J_xxyz', 'J_xxzz', 'J_xyyz', 'J_xyzz', 'J_yyzz',
+             'J_xxyyz', 'J_xxyzz', 'J_xyyzz', 'J_xyxzyz']
+    supported_stencils = [D3Q27]
+
+    @staticmethod
+    def _build_matrix(e):
+        cs2 = 1.0 / 3.0
+
+        def hermite(x, order):
+            if order == 0:
+                return np.ones_like(x)
+            if order == 1:
+                return x
+            return x ** 2 - cs2
+
+        rows = []
+        for (i, j, k) in _HERMITE_MULTIINDICES:
+            rows.append(hermite(e[:, 0], i) * hermite(e[:, 1], j)
+                        * hermite(e[:, 2], k))
+        return np.stack(rows)
+
+    def equilibrium(self, m, flow: "Flow"):
+        rho, jx, jy, jz = m[0], m[1], m[2], m[3]
+        j = {'x': jx, 'y': jy, 'z': jz}
+        rows = [rho, jx, jy, jz]
+        for (i, jj, k) in _HERMITE_MULTIINDICES[4:]:
+            # equilibrium Hermite moment = product of momenta / rho^(n-1)
+            order = i + jj + k
+            val = (j['x'] ** i * j['y'] ** jj * j['z'] ** k
+                   / rho ** (order - 1))
+            rows.append(val)
+        return jnp.stack(rows)

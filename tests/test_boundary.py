@@ -1,0 +1,120 @@
+"""Boundary behaviour (reference tests/boundary/): algebraic checks on twin
+flows, mask wiring, outlets."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lettuce_tpu as lt
+from tests.conftest import TestFlow
+
+
+def test_bounce_back_is_opposite(fix_stencil, fix_context):
+    mask = np.zeros([6] * fix_stencil.d, dtype=bool)
+    mask[(0,) * fix_stencil.d] = True
+    flow = TestFlow(fix_context, resolution=[6] * fix_stencil.d,
+                    stencil=fix_stencil)
+    rng = np.random.RandomState(0)
+    flow.f = fix_context.convert_to_tensor(rng.rand(*flow.f.shape))
+    bb = lt.BounceBackBoundary(mask)
+    out = np.asarray(bb(flow))
+    np.testing.assert_array_equal(
+        out, np.asarray(flow.f)[np.asarray(fix_stencil.opposite)])
+
+
+def test_equilibrium_bc_pu_algebra(fix_context):
+    """The BC field equals the hand-computed equilibrium of the prescribed
+    velocity/pressure (reference test_equilibrium_bc_pu.py:37-81)."""
+    stencil = lt.D2Q9()
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[0, :] = True
+    flow = TestFlow(fix_context, resolution=[8, 8], stencil=stencil)
+    velocity_pu = [0.2, 0.1]
+    pressure_pu = 0.01
+    bc = lt.EquilibriumBoundaryPU(fix_context, mask, velocity_pu,
+                                  pressure_pu)
+    out = np.asarray(bc(flow))
+
+    rho = flow.units.convert_pressure_pu_to_density_lu(pressure_pu)
+    u = flow.units.convert_velocity_to_lu(jnp.asarray(velocity_pu,
+                                                      dtype=flow.f.dtype))
+    feq = np.asarray(flow.equilibrium(flow, rho=jnp.asarray(rho), u=u))
+    for q in range(9):
+        np.testing.assert_allclose(out[q], feq[q], rtol=1e-6)
+
+
+def test_equilibrium_bc_per_node_velocity(fix_context):
+    """Per-node velocity fields broadcast like the reference's native
+    broadcast-aware path (cuda_native/ext/_boundary/equilibrium_pu.py)."""
+    stencil = lt.D2Q9()
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[0, :] = True
+    flow = TestFlow(fix_context, resolution=[8, 8], stencil=stencil)
+    rng = np.random.RandomState(1)
+    velocity_pu = rng.rand(2, 8, 8) * 0.1
+    bc = lt.EquilibriumBoundaryPU(fix_context, mask, velocity_pu, 0.0)
+    out = bc(flow)
+    assert out.shape == flow.f.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_mask_wiring(fix_context):
+    """no_collision_mask is index-coded by sorted boundary order
+    (reference test_bc_masks.py)."""
+    stencil = lt.D2Q9()
+    m1 = np.zeros((8, 8), dtype=bool)
+    m1[0, :] = True
+    m2 = np.zeros((8, 8), dtype=bool)
+    m2[-1, :] = True
+    b1 = lt.BounceBackBoundary(m1)
+    b2 = lt.EquilibriumBoundaryPU(fix_context, m2, [0.1, 0.0])
+    flow = TestFlow(fix_context, resolution=[8, 8], stencil=stencil,
+                    boundaries=[b1, b2])
+    sim = lt.Simulation(flow, lt.BGKCollision(0.8), [])
+    ncm = np.asarray(sim.no_collision_mask)
+    codes = {str(type(b).__name__): i
+             for i, b in enumerate(sim.boundaries[1:], start=1)}
+    assert set(np.unique(ncm)) <= {0, 1, 2}
+    assert np.all(ncm[0, :] == codes['BounceBackBoundary'])
+    assert np.all(ncm[-1, :] == codes['EquilibriumBoundaryPU'])
+    assert np.all(ncm[3, :] == 0)
+
+
+def test_anti_bounce_back_outlet_masks(fix_context):
+    flow = lt.Obstacle(fix_context, [16, 8], reynolds_number=50,
+                       mach_number=0.05, domain_length_x=1.6)
+    outlet = [b for b in flow.boundaries
+              if isinstance(b, lt.AntiBounceBackOutlet)][0]
+    nsm = np.asarray(outlet.make_no_streaming_mask(
+        [flow.stencil.q, *flow.resolution], fix_context))
+    # only the face x = -1 is masked, only for incoming (opposite) dirs
+    assert nsm[:, :-1, :].sum() == 0
+    opp = np.asarray(flow.stencil.opposite)[outlet.velocities]
+    face_sum = nsm[:, -1, :].sum()
+    assert face_sum == len(opp) * flow.resolution[1]
+
+
+def test_equilibrium_outlet_p_sets_face(fix_context):
+    flow = lt.Obstacle(fix_context, [16, 8], reynolds_number=50,
+                       mach_number=0.05, domain_length_x=1.6)
+    outlet = lt.EquilibriumOutletP([1, 0], flow, rho_outlet=1.0)
+    out = np.asarray(outlet(flow))
+    # interior unchanged
+    np.testing.assert_array_equal(out[:, :-1, :],
+                                  np.asarray(flow.f)[:, :-1, :])
+    assert np.all(np.isfinite(out[:, -1, :]))
+
+
+def test_couette_converges_to_linear_profile(fix_context):
+    """Moving-wall + bounce-back produce the linear Couette profile."""
+    flow = lt.CouetteFlow2D(fix_context, 16, reynolds_number=5,
+                            mach_number=0.05)
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    sim(2000)
+    u = np.asarray(flow.u_pu)[0]  # [x, y]
+    profile = u.mean(axis=0)
+    # skip wall nodes; profile should increase monotonically towards lid
+    interior = profile[1:-1]
+    assert np.all(np.diff(interior) > -1e-6)
+    assert profile[-2] > 0.5 * profile[-1] > 0.0

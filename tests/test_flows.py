@@ -1,0 +1,130 @@
+"""Flow-case integration tests (reference tests/flow/): 1-step smoke run of
+every registered flow, divergence-free turbulence IC, fneq initialisation
+improvement, checkpointing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lettuce_tpu as lt
+
+
+def _make_flow(name, context, resolution=16):
+    cls, stencil = lt.flow_by_name[name]
+    if name == 'decay2d':
+        return cls(context, [resolution] * 2, 100, 0.05, randseed=0)
+    return cls(context, resolution, 100, 0.05, stencil=stencil())
+
+
+@pytest.mark.parametrize("name", sorted(lt.flow_by_name))
+def test_flow_smoke(name, fix_configuration):
+    context = fix_configuration
+    flow = _make_flow(name, context)
+    if name == 'poiseuille2d':
+        acc_lu = flow.units.convert_acceleration_to_lu(flow.acceleration)
+        collision = lt.BGKCollision(
+            tau=flow.units.relaxation_parameter_lu,
+            force=lt.Guo(flow, tau=flow.units.relaxation_parameter_lu,
+                         acceleration=acc_lu))
+    else:
+        collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+    simulation = lt.Simulation(flow, collision, [])
+    simulation(1)
+    assert np.all(np.isfinite(np.asarray(flow.f)))
+
+
+def test_obstacle_smoke(fix_context):
+    flow = lt.Obstacle(fix_context, [32, 16], reynolds_number=100,
+                       mach_number=0.05, domain_length_x=3.2)
+    x, y = flow.grid
+    flow.mask = np.asarray((x - 1.0) ** 2 + (y - 0.8) ** 2 < 0.25)
+    simulation = lt.Simulation(
+        flow, lt.BGKCollision(tau=flow.units.relaxation_parameter_lu), [])
+    simulation(2)
+    assert np.all(np.isfinite(np.asarray(flow.f)))
+
+
+def test_divergence_free_turbulence_ic(fix_context):
+    flow = lt.DecayingTurbulence(fix_context, [64, 64], 1600, 0.05,
+                                 k0=10, randseed=0)
+    u = flow.u()
+    div = (lt.jax_gradient(u[0])[0] + lt.jax_gradient(u[1])[1])
+    # divergence (2nd-order FD, which the IC's modified wavenumbers target)
+    assert float(jnp.abs(div).max()) < 1e-6 * float(jnp.abs(u).max()) * 64
+
+
+def test_initialize_fneq_reduces_error(fix_context):
+    """fneq initialisation reduces the early-time TGV error
+    (reference test_initialize_fneq.py:70-93)."""
+    errors = {}
+    for use_fneq in [False, True]:
+        flow = lt.TaylorGreenVortex(fix_context, 32, 400, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=use_fneq)
+        out = []
+        rep = lt.ErrorReporter(flow.analytic_solution, interval=4, out=out)
+        sim = lt.Simulation(
+            flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [rep])
+        sim(8)
+        errors[use_fneq] = np.asarray(out)[-1, 0]
+    assert errors[True] < errors[False]
+
+
+def test_checkpoint_roundtrip(tmp_path, fix_context):
+    """dump -> steps -> load -> f identical (reference
+    test_checkpoint.py:5-20); we additionally restore the step counter."""
+    flow = lt.TaylorGreenVortex(fix_context, 16, 100, 0.05,
+                                stencil=lt.D2Q9())
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    sim(10)
+    fname = os.path.join(tmp_path, "checkpoint.pkl")
+    flow.dump(fname)
+    f_saved = np.asarray(flow.f)
+    i_saved = flow.i
+
+    flow2 = lt.TaylorGreenVortex(fix_context, 16, 100, 0.05,
+                                 stencil=lt.D2Q9())
+    flow2.load(fname)
+    np.testing.assert_array_equal(np.asarray(flow2.f), f_saved)
+    assert flow2.i == i_saved
+
+
+def test_pressure_poisson_reconstructs_tgv_pressure(fix_context):
+    """(reference test_pressure_poisson.py:5-22)"""
+    flow = lt.TaylorGreenVortex(fix_context, 32, 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    p0, u0 = flow.initial_pu()
+    rho0 = flow.units.convert_pressure_pu_to_density_lu(jnp.asarray(p0))
+    u_lu = flow.units.convert_velocity_to_lu(jnp.asarray(u0))
+    rho_guess = jnp.ones_like(rho0)
+    rho_rec = lt.pressure_poisson(flow.units, u_lu, rho_guess,
+                                  tol_abs=1e-12)
+    p_rec = flow.units.convert_density_lu_to_pressure_pu(rho_rec)
+    p_rec = p_rec - jnp.mean(p_rec)
+    p_ref = jnp.asarray(p0) - jnp.mean(jnp.asarray(p0))
+    # limited by the O(h^2) FD discretisation: (2 pi / 32)^2 ~ 3.9%
+    assert float(jnp.abs(p_rec - p_ref).max()) < 0.05 * float(
+        jnp.abs(p_ref).max() + 1e-12)
+
+
+def test_rollout_differentiable(fix_context):
+    """Gradients flow through a multi-step rollout (the torch-autograd
+    parity property advertised by the reference README)."""
+    import jax
+
+    flow = lt.TaylorGreenVortex(fix_context, 8, 100, 0.05,
+                                stencil=lt.D2Q9())
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+
+    def loss(f):
+        for _ in range(5):
+            f = sim._step(f)
+        return jnp.sum(flow.view(f).incompressible_energy())
+
+    g = jax.grad(loss)(flow.f)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
