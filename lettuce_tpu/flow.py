@@ -169,9 +169,13 @@ class Flow(ABC):
         return self.units.convert_velocity_to_pu(self.u())
 
     def j(self, f: Optional[jax.Array] = None) -> jax.Array:
-        """Momentum, shape [d, *resolution]."""
+        """Momentum, shape [d, *resolution].
+
+        precision=HIGHEST keeps the moment contraction in true f32/f64 on
+        TPU (the default would route it through bf16 MXU passes)."""
         return jnp.tensordot(self.torch_stencil.e.T,
-                             self.f if f is None else f, axes=1)
+                             self.f if f is None else f, axes=1,
+                             precision=jax.lax.Precision.HIGHEST)
 
     def u(self, f: Optional[jax.Array] = None, rho=None, acceleration=None
           ) -> jax.Array:
@@ -219,7 +223,8 @@ class Flow(ABC):
         e = self.torch_stencil.e  # [q, d]
         ee = e[:, :, None] * e[:, None, :]  # [q, d, d]
         return jnp.tensordot(ee.T, self.f if f is None else f,
-                             axes=([2], [0]))  # [d, d, *res] (ab symmetric)
+                             axes=([2], [0]),
+                             precision=jax.lax.Precision.HIGHEST)
 
     def einsum(self, equation, fields, *args) -> jax.Array:
         """Shape-polymorphic Einstein summation (reference

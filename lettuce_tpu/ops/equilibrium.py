@@ -28,8 +28,10 @@ def quadratic_feq(e: jax.Array, w: jax.Array, cs: float, rho, u) -> jax.Array:
     ``e``: [q, d]; ``u``: [d, ...]; ``rho``: broadcastable to [...].
     Returns [q, ...]. Written as in the reference to match floating-point
     association:  w * rho * ((2 exu - uxu)/(2 cs^2) + 0.5 (exu/cs^2)^2 + 1).
+    precision=HIGHEST keeps the e.u contraction out of bf16 MXU passes.
     """
-    exu = jnp.tensordot(e, u, axes=1)               # [q, ...]
+    exu = jnp.tensordot(e, u, axes=1,
+                        precision=jax.lax.Precision.HIGHEST)  # [q, ...]
     uxu = jnp.sum(u * u, axis=0)                    # [...]
     inner = rho * ((2 * exu - uxu) / (2 * cs ** 2)
                    + 0.5 * (exu / cs ** 2) ** 2 + 1)
@@ -39,7 +41,8 @@ def quadratic_feq(e: jax.Array, w: jax.Array, cs: float, rho, u) -> jax.Array:
 def incompressible_feq(e, w, cs, rho, u, rho0) -> jax.Array:
     """He-Luo incompressible form with constant rho0 prefactor on the
     velocity terms (reference ``incompressible_quadratic_equilibrium.py``)."""
-    exu = jnp.tensordot(e, u, axes=1)
+    exu = jnp.tensordot(e, u, axes=1,
+                        precision=jax.lax.Precision.HIGHEST)
     uxu = jnp.sum(u * u, axis=0)
     inner = rho + rho0 * ((2 * exu - uxu) / (2 * cs ** 2)
                           + 0.5 * (exu / cs ** 2) ** 2)

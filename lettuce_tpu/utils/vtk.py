@@ -15,14 +15,29 @@ import numpy as np
 __all__ = ["write_vtk"]
 
 
-def _write_array(fh, name: str, data: np.ndarray):
+def _write_array(fh, name: str, data: np.ndarray, path: str):
     data = np.ascontiguousarray(data)
     if data.dtype.kind != "f":
         data = data.astype(np.float64)
     vtk_type = {4: "float", 8: "double"}[data.dtype.itemsize]
     fh.write(f"SCALARS {name} {vtk_type} 1\n".encode())
     fh.write(b"LOOKUP_TABLE default\n")
-    # VTK legacy binary is big-endian; x varies fastest -> Fortran ravel
+    # VTK legacy binary is big-endian; x varies fastest (Fortran order).
+    # The native C++ writer does transpose + byteswap + write in one pass.
+    if data.dtype.itemsize == 4:
+        from .._native import get_native_lib
+        lib = get_native_lib()
+        if lib is not None:
+            import ctypes
+            fh.flush()
+            nx, ny, nz = data.shape
+            rc = lib.lt_write_be_f32_fortran(
+                path.encode(), data.ctypes.data_as(ctypes.c_void_p),
+                nx, ny, nz)
+            if rc == 0:
+                fh.seek(0, 2)  # continue appending after native write
+                fh.write(b"\n")
+                return
     fh.write(data.ravel(order="F").astype(f">f{data.dtype.itemsize}")
              .tobytes())
     fh.write(b"\n")
@@ -51,5 +66,5 @@ def write_vtk(point_dict: Dict[str, np.ndarray], id: int = 0,
         for name, data in point_dict.items():
             assert data.shape == (nx, ny, nz), \
                 f"field {name} has shape {data.shape}, expected {(nx, ny, nz)}"
-            _write_array(fh, name, data)
+            _write_array(fh, name, data, filename)
     return filename

@@ -1,0 +1,146 @@
+"""Pallas-kernel vs jnp-path equivalence — the TPU analog of the
+reference's CPU-vs-CUDA-native suite (tests/native/): run the identical
+tiny flow through both step paths and require matching f after N steps.
+
+On CPU the kernel runs in Pallas interpret mode (the minor axis must be a
+multiple of 128 for the kernel to engage).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lettuce_tpu as lt
+from tests.conftest import TestFlow, DummyFlow
+
+
+def _run_both(flow_factory, collision_factory, steps=4):
+    outs = {}
+    for use_native in (False, True):
+        flow = flow_factory(use_native)
+        sim = lt.Simulation(flow, collision_factory(flow), [])
+        if use_native:
+            assert sim._step_kind == "pallas", \
+                "kernel did not engage — gating broke"
+        sim(steps)
+        outs[use_native] = np.asarray(flow.f)
+    return outs[False], outs[True]
+
+
+def _ctx(use_native):
+    return lt.Context(dtype=jnp.float32, use_native=use_native)
+
+
+def test_native_bgk_periodic_2d():
+    def make(native):
+        return lt.TaylorGreenVortex(_ctx(native), [16, 128], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(
+        fl.units.relaxation_parameter_lu))
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_bgk_periodic_3d():
+    def make(native):
+        return lt.TaylorGreenVortex(_ctx(native), [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(
+        fl.units.relaxation_parameter_lu))
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_bgk_periodic_3d_q27():
+    def make(native):
+        return lt.TaylorGreenVortex(_ctx(native), [8, 8, 256], 100, 0.05,
+                                    stencil=lt.D3Q27(),
+                                    initialize_fneq=False)
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(
+        fl.units.relaxation_parameter_lu), steps=2)
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_streaming_spikes():
+    """Streaming-only with single spikes (reference
+    test_native_streaming.py:9-51)."""
+    def make(native):
+        flow = DummyFlow(_ctx(native), resolution=[16, 128],
+                         stencil=lt.D2Q9())
+        f = np.zeros((9, 16, 128), dtype=np.float32)
+        for q in range(9):
+            f[q, 5, 64] = 1.0 + q
+        flow.f = jnp.asarray(f)
+        return flow
+    ref, nat = _run_both(make, lambda fl: lt.NoCollision(), steps=3)
+    np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_bounce_back():
+    """BGK + bounce-back wall (reference test_native_bounce_back.py)."""
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+
+    def make(native):
+        return TestFlow(_ctx(native), resolution=[16, 128],
+                        stencil=lt.D2Q9(),
+                        boundaries=[lt.BounceBackBoundary(mask)])
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(0.8), steps=4)
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_equilibrium_bc_pu():
+    """BGK + equilibrium boundary (reference test_equilibrium_bc_pu.py
+    native section)."""
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[-1, :] = True
+
+    def make(native):
+        return TestFlow(_ctx(native), resolution=[16, 128],
+                        stencil=lt.D2Q9(),
+                        boundaries=[
+                            lt.EquilibriumBoundaryPU(
+                                _ctx(native), mask, [0.05, 0.0], 0.001)])
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(0.9), steps=4)
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_couette_combined():
+    """Moving wall + bounce back together (mask codes 1 and 2)."""
+    def make(native):
+        ctx = _ctx(native)
+        return lt.CouetteFlow2D(ctx, [16, 128], reynolds_number=10,
+                                mach_number=0.05)
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(
+        fl.units.relaxation_parameter_lu), steps=6)
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_no_streaming_mask():
+    """Frozen populations stay frozen (reference
+    test_native_no_streaming_mask.py)."""
+    class FrozenBoundary(lt.BounceBackBoundary):
+        def make_no_streaming_mask(self, shape, context):
+            m = np.zeros(tuple(shape), dtype=bool)
+            m[:, 8, :] = True
+            return context.convert_to_tensor(m)
+
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+
+    def make(native):
+        return TestFlow(_ctx(native), resolution=[16, 128],
+                        stencil=lt.D2Q9(),
+                        boundaries=[FrozenBoundary(mask)])
+    ref, nat = _run_both(make, lambda fl: lt.BGKCollision(0.8), steps=3)
+    np.testing.assert_allclose(nat, ref, atol=5e-6)
+
+
+def test_native_fallback_on_unsupported():
+    """Unsupported configuration falls back to the jnp path with a
+    warning print (reference behaviour, _simulation.py:100-115)."""
+    flow = lt.TaylorGreenVortex(_ctx(True), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(flow, lt.TRTCollision(0.8), [])
+    assert sim._step_kind == "jnp"
+    sim(1)  # still runs
