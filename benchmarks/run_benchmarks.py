@@ -1,0 +1,104 @@
+"""Benchmark suite: MLUPS across flow configs, stencils, precisions and
+step paths, written to benchmarks/results.json.
+
+Usage:
+    python benchmarks/run_benchmarks.py [--quick]
+
+The reference framework has no benchmarks directory; its only recorded
+numbers are MLUPS outputs in example notebooks (see BASELINE.md). This
+suite records hardware-labelled results per configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform as host_platform
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_config(name, make_flow, collision_factory, steps, use_native):
+    import lettuce_tpu as lt
+
+    context = lt.Context(dtype=jnp.float32, use_native=use_native)
+    flow = make_flow(context)
+    simulation = lt.Simulation(flow, collision_factory(flow), [])
+    warm = max(2, steps // 10)
+    simulation(warm)
+    mlups = simulation(steps)
+    return {
+        "name": name,
+        "resolution": list(flow.resolution),
+        "stencil": type(flow.stencil).__name__,
+        "path": simulation._step_kind,
+        "steps": steps,
+        "mlups": round(mlups, 1),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import lettuce_tpu as lt
+
+    device = jax.devices()[0]
+    on_accel = device.platform in ("tpu", "gpu")
+    scale = 1 if on_accel else 8  # shrink grids on CPU
+    steps = 100 if on_accel else 5
+    if args.quick:
+        steps = max(5, steps // 5)
+
+    def bgk(flow):
+        return lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+
+    configs = [
+        ("tgv2d_1024_d2q9", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 1024 // scale, 1600, 0.05, stencil=lt.D2Q9(),
+            initialize_fneq=False), bgk),
+        ("tgv2d_2048_d2q9", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 2048 // scale, 1600, 0.05, stencil=lt.D2Q9(),
+            initialize_fneq=False), bgk),
+        ("tgv3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
+            initialize_fneq=False), bgk),
+        ("tgv3d_128_d3q27", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 128 // max(1, scale // 2), 1600, 0.05,
+            stencil=lt.D3Q27(), initialize_fneq=False), bgk),
+        ("decay2d_1024", lambda ctx: lt.DecayingTurbulence(
+            ctx, [1024 // scale] * 2, 2000, 0.05, randseed=0,
+            initialize_pressure=False, initialize_fneq=False), bgk),
+    ]
+
+    results = {
+        "device": str(device),
+        "platform": device.platform,
+        "host": host_platform.platform(),
+        "jax": jax.__version__,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "runs": [],
+    }
+    for name, make_flow, coll in configs:
+        for use_native in ((True, False) if on_accel else (True,)):
+            try:
+                row = bench_config(name, make_flow, coll, steps, use_native)
+                results["runs"].append(row)
+                print(json.dumps(row), flush=True)
+            except Exception as ex:  # keep the suite running
+                print(f"{name} native={use_native}: FAILED {ex}",
+                      flush=True)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"written {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,14 @@ Key design points (vs. the reference's CUDA push-streaming):
   tiling;
 * **merged-minor layout** — internally f is viewed as
   ``[q, X, Y*S, 128]`` (3D, S = Z/128) or ``[q, X, Y/128, 128]`` (2D), a
-  *free* reshape of the public ``[q, X, Y(, Z)]`` array. The last two dims
-  are then large multiples of the (8, 128) tile, so vector ops waste no
-  sublanes and DMA slices stay tile-aligned;
-* halo planes arrive via explicit async DMAs with modular (periodic)
-  source indices: 1-deep in x (dim 1 carries no tiling constraint) and
-  8-row-aligned segments on the merged axis (covering the +-1 y cell);
+  *free* reshape of the public array. The last two dims are large
+  multiples of the (8, 128) tile, so vector ops waste no sublanes and all
+  block shapes stay tile-aligned;
+* **halos as blocked inputs** — the centre block plus its 1-deep x halos
+  and 8-row merged-axis halos (and corners) enter as NINE separate blocked
+  inputs whose index maps wrap modularly. Pallas's pipeline machinery then
+  double-buffers and prefetches every stream concurrently with compute —
+  no manual DMA, no semaphores, full overlap;
 * the minor-axis (z) periodic shift is a lane roll with a sublane-carry
   select; the carry distinguishes intra-y wraps via the s-phase of each
   merged row;
@@ -51,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["build_fused_step", "fused_stream_collide"]
 
 LANES = 128
-YHALO = 8  # merged-axis halo depth (tile-aligned); only S rows are used
+YHALO = 8  # merged-axis halo depth in rows (tile-aligned); S rows are used
 
 
 def _pick_block(extent: int, target: int, multiple: int = 1) -> int:
@@ -66,19 +68,13 @@ def _pick_block(extent: int, target: int, multiple: int = 1) -> int:
 
 def _roll_minor(x, shift: int, S: int):
     """Periodic shift of the minor spatial axis packed as (rows, 128
-    lanes), where each packed cell group occupies ``S`` consecutive rows
-    (S == number of sublane rows per y for 3D; for 2D, S == total rows and
-    the whole row axis is one group).
-
-    Only the interior rows of the result are meaningful when S divides the
-    row count unevenly at tile edges — callers slice interiors afterwards.
-    """
+    lanes), where each z-column group occupies ``S`` consecutive rows. For
+    2D pass S == row count (a single group; exact periodic roll)."""
     if shift == 0:
         return x
     rows = x.shape[-2]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     if S == rows:
-        # single group: plain packed roll
         if shift == 1:
             a = pltpu.roll(x, 1, axis=x.ndim - 1)
             b = pltpu.roll(a, 1, axis=x.ndim - 2)
@@ -87,14 +83,12 @@ def _roll_minor(x, shift: int, S: int):
             a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
             b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
             return jnp.where(lane == LANES - 1, b, a)
-    # multiple groups of S rows: the carry row is m-1 within a group but
-    # m+S-1 when wrapping at the group start (periodic z within each y)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
     s_phase = row % S
     if shift == 1:
         a = pltpu.roll(x, 1, axis=x.ndim - 1)
         if S == 1:
-            return jnp.where(lane == 0, a, a)  # carry within same row
+            return a  # wrap stays within the row
         b = pltpu.roll(a, 1, axis=x.ndim - 2)
         c = pltpu.roll(a, rows - (S - 1), axis=x.ndim - 2)
         carry = jnp.where(s_phase == 0, c, b)
@@ -102,7 +96,7 @@ def _roll_minor(x, shift: int, S: int):
     else:
         a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
         if S == 1:
-            return jnp.where(lane == LANES - 1, a, a)
+            return a
         b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
         c = pltpu.roll(a, S - 1, axis=x.ndim - 2)
         carry = jnp.where(s_phase == S - 1, c, b)
@@ -124,72 +118,141 @@ def _feq_terms(e_row, w_q, cs2, rho, u, u2):
                         - u2 / (2 * cs2))
 
 
+# ----------------------------------------------------------------------
+# halo-as-blocked-inputs plumbing
+# ----------------------------------------------------------------------
+def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
+                lead_q: Optional[int]):
+    """(block_shape, index_map) pairs for centre + halo streams of an
+    ``[q?, X, YS, 128]`` array blocked over x (and the merged axis in 3D).
+    Index maps wrap modularly, giving periodic topology for free. Order:
+    [(dx, dm)] for dx, dm in (-1, 0, 1) x (-1, 0, 1) — 3D; x only — 2D.
+    """
+    nbx = X // bx
+    q_dims = (lead_q,) if lead_q else ()
+    q_zeros = (0,) if lead_q else ()
+
+    def xb(dx):
+        # block index along x for offset dx in {-1, 0, 1}
+        if dx == 0:
+            return lambda i: i, bx
+        # 1-wide block at element (i*bx + dx') mod X
+        off = -1 if dx == -1 else bx
+        return (lambda i: (i * bx + off) % X), 1
+
+    specs = []
+    if bys is None:
+        for dx in (-1, 0, 1):
+            xi, xs = xb(dx)
+            shape = q_dims + (xs, YS, LANES)
+            index = (lambda xi: lambda i: q_zeros + (xi(i), 0, 0))(xi)
+            specs.append(pl.BlockSpec(shape, index,
+                                      memory_space=pltpu.VMEM))
+        return specs
+
+    nbm = YS // bys
+
+    def mb(dm):
+        if dm == 0:
+            return lambda j: j, bys
+        # YHALO-row block whose element offset is j*bys - YHALO (or + bys),
+        # expressed in units of YHALO blocks (bys is a multiple of YHALO)
+        ratio = bys // YHALO
+        off = -1 if dm == -1 else ratio
+        nblocks = YS // YHALO
+        return (lambda j: (j * ratio + off) % nblocks), YHALO
+
+    for dx in (-1, 0, 1):
+        for dm in (-1, 0, 1):
+            xi, xs = xb(dx)
+            mi, ms = mb(dm)
+            shape = q_dims + (xs, ms, LANES)
+            index = (lambda xi, mi: lambda i, j:
+                     q_zeros + (xi(i), mi(j), 0))(xi, mi)
+            specs.append(pl.BlockSpec(shape, index,
+                                      memory_space=pltpu.VMEM))
+    return specs
+
+
+def _assemble(parts, is3d: bool, qi=None):
+    """Concatenate centre+halo blocks into one slab value.
+
+    ``parts`` ordered as produced by :func:`_halo_specs`. ``qi`` selects a
+    population when the parts carry a leading q axis.
+    """
+    def g(p):
+        return p[qi] if qi is not None else p[:]
+
+    if not is3d:
+        lo, c, hi = parts
+        return jnp.concatenate([g(lo), g(c), g(hi)], axis=0)
+    cols = []
+    for k in range(3):
+        trio = parts[3 * k: 3 * k + 3]
+        cols.append(jnp.concatenate([g(trio[0]), g(trio[1]), g(trio[2])],
+                                    axis=1))
+    return jnp.concatenate(cols, axis=0)
+
+
+def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int]):
+    """Copy centre+halo input blocks into the contiguous slab scratch —
+    nine multi-q vector stores instead of per-q concatenations. Works for
+    q-leading f slabs (4D) and plain mask slabs (3D)."""
+    lead = (slice(None),) if slab.ndim == 4 else ()
+    if not is3d:
+        lo, c, hi = parts
+        slab[lead + (slice(0, 1),)] = lo[:]
+        slab[lead + (slice(1, 1 + bx),)] = c[:]
+        slab[lead + (slice(1 + bx, 2 + bx),)] = hi[:]
+        return
+    x_slices = [slice(0, 1), slice(1, 1 + bx), slice(1 + bx, 2 + bx)]
+    m_slices = [slice(0, YHALO), slice(YHALO, YHALO + bys),
+                slice(YHALO + bys, YHALO + bys + YHALO)]
+    k = 0
+    for xs in x_slices:
+        for ms in m_slices:
+            slab[lead + (xs, ms)] = parts[k][:]
+            k += 1
+
+
 def _stream_collide_kernel(
         *refs,
         e: np.ndarray, w: np.ndarray, opposite: np.ndarray, cs: float,
         tau_inv: Optional[float], bx: int, by: Optional[int], S: int,
-        X: int, YS: int, has_ncm: bool, has_nsm: bool,
+        has_ncm: bool, has_nsm: bool,
         boundary_kinds: Tuple[Tuple[str, int], ...],
-        feq_boundary: Optional[tuple]):
-    """Kernel body (2D: by is None, no merged-axis blocking)."""
+        feq_boundary: Optional[tuple], debug_mode: str = "full"):
+    """Kernel body (2D: by is None)."""
     q = e.shape[0]
     cs2 = cs * cs
     is3d = by is not None
+    n_parts = 9 if is3d else 3
 
-    idx = 0
-    f_hbm = refs[idx]; idx += 1
-    ncm_hbm = None
+    f_parts = refs[:n_parts]
+    idx = n_parts
+    ncm_parts = None
     if has_ncm:
-        ncm_hbm = refs[idx]; idx += 1
+        ncm_parts = refs[idx:idx + n_parts]
+        idx += n_parts
     nsm_block = None
     if has_nsm:
-        nsm_block = refs[idx]; idx += 1
-    out_ref = refs[idx]; idx += 1
-    slab = refs[idx]; idx += 1
-    ncm_slab = None
-    if has_ncm:
-        ncm_slab = refs[idx]; idx += 1
-    sems = refs[idx]; idx += 1
+        nsm_block = refs[idx]
+        idx += 1
+    out_ref = refs[idx]
+    idx += 1
+    slab = refs[idx]
+    idx += 1
+    ncm_slab_ref = refs[idx] if has_ncm else None
 
     # ------------------------------------------------------------------
-    # halo DMAs with modular (periodic) source indices
-    # ------------------------------------------------------------------
-    x0 = pl.program_id(0) * bx
-    x_segs = [((x0 - 1) % X, 0, 1), (x0, 1, bx), ((x0 + bx) % X, bx + 1, 1)]
-    if is3d:
-        bys = by * S
-        m0 = pl.program_id(1) * bys
-        m_segs = [((m0 - YHALO) % YS, 0, YHALO),
-                  (m0, YHALO, bys),
-                  ((m0 + bys) % YS, YHALO + bys, YHALO)]
-    else:
-        m_segs = [(0, 0, YS)]
-
-    copies = []
-    for (sx, dx_, nx) in x_segs:
-        for (sm, dm, nm) in m_segs:
-            copies.append((
-                f_hbm.at[:, pl.ds(sx, nx), pl.ds(sm, nm)],
-                slab.at[:, pl.ds(dx_, nx), pl.ds(dm, nm)]))
-            if has_ncm:
-                copies.append((
-                    ncm_hbm.at[pl.ds(sx, nx), pl.ds(sm, nm)],
-                    ncm_slab.at[pl.ds(dx_, nx), pl.ds(dm, nm)]))
-
-    dmas = []
-    for k, (src, dst) in enumerate(copies):
-        dma = pltpu.make_async_copy(src, dst, sems.at[k])
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-
-    # ------------------------------------------------------------------
-    # moments on the whole slab (redundant halo compute replaces a second
-    # communication round); populations re-read from the slab per use so
-    # no q-length value list stays live
+    # assemble the slab scratch, then compute from it (populations read
+    # per use — no q-length value list stays live)
     # ------------------------------------------------------------------
     d = 3 if is3d else 2
+    _store_parts(f_parts, slab, is3d, bx, by * S if is3d else None)
+    if has_ncm:
+        _store_parts(ncm_parts, ncm_slab_ref, is3d, bx,
+                     by * S if is3d else None)
     rho = None
     j = [None] * d
     for qi in range(q):
@@ -206,24 +269,65 @@ def _stream_collide_kernel(
     for uc in u:
         u2 = uc * uc if u2 is None else u2 + uc * uc
 
-    ncm = ncm_slab[:] if has_ncm else None
+    ncm = ncm_slab_ref[:] if has_ncm else None
     if is3d:
         bys = by * S
         interior = (slice(1, 1 + bx), slice(YHALO, YHALO + bys))
     else:
-        interior = (slice(1, 1 + bx), slice(0, YS))
+        bys = None
+        interior = (slice(1, 1 + bx), slice(None))
 
     # ------------------------------------------------------------------
     # fused per-q pipeline: collide -> boundary replace -> pull-stream ->
     # write
     # ------------------------------------------------------------------
+    # Collide with minimal vector passes:
+    #   feq_q = w_q (base + trho' eu' + trho' eu'^2 / 2),
+    #     base = rho (1 - u2/(2 cs2)),  eu' = e.u / cs2
+    #   fpost = (1 - tau_inv) f + tau_inv feq
+    # The +-e pairs share eu'^2: cache it per canonical signed direction.
+    if debug_mode != "no_collide" and tau_inv is not None:
+        keep = 1.0 - tau_inv
+        base = tau_inv * (rho - rho * (u2 * (0.5 / cs2)))
+        up = [uc * (1.0 / cs2) for uc in u]            # u/cs2
+        trho = tau_inv * rho
+
+    def canonical(qi):
+        row = [int(c) for c in e[qi]]
+        for c in row:
+            if c > 0:
+                return tuple(row)
+            if c < 0:
+                return tuple(-x for x in row)
+        return tuple(row)
+
+    def eu_of(qi):
+        acc = None
+        for comp, uc in zip(e[qi], up):
+            if comp == 0:
+                continue
+            term = uc if comp == 1 else -uc
+            acc = term if acc is None else acc + term
+        return acc
+
+    quad_cache = {}
+
     for qi in range(q):
         fi = slab[qi]
-        feq = _feq_terms(e[qi], float(w[qi]), cs2, rho, u, u2)
-        if tau_inv is None:  # NoCollision
+        if debug_mode == "no_collide" or tau_inv is None:
             fpost = fi
         else:
-            fpost = fi - tau_inv * (fi - feq)
+            eu = eu_of(qi)
+            if eu is None:
+                feq_t = float(w[qi]) * base
+            else:
+                key = canonical(qi)
+                quad = quad_cache.get(key)
+                if quad is None:
+                    quad = trho * (eu * eu * 0.5)
+                    quad_cache[key] = quad
+                feq_t = float(w[qi]) * (base + trho * eu + quad)
+            fpost = keep * fi + feq_t
         if has_ncm:
             fpost = jnp.where(ncm == 0, fpost, fi)
         for kind, index in boundary_kinds:
@@ -236,10 +340,12 @@ def _stream_collide_kernel(
                                                 feq_boundary[index - 1][qi]),
                                   fpost)
 
-        # minor-axis shift first (uses only interior +- S rows, all valid)
+        # minor-axis shift first (only interior +- S rows are consumed)
         ez = int(e[qi, d - 1])
-        shifted = _roll_minor(fpost, ez, S if is3d else YS)
-        # then the blocked-axis shifts via slab-offset slicing
+        if debug_mode == "no_zroll":
+            shifted = fpost
+        else:
+            shifted = _roll_minor(fpost, ez, S if is3d else fpost.shape[-2])
         ex = int(e[qi, 0])
         if is3d:
             ey = int(e[qi, 1])
@@ -259,9 +365,10 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          no_streaming_mask: Optional[jax.Array] = None,
                          boundary_kinds: Tuple[Tuple[str, int], ...] = (),
                          feq_boundary: Optional[tuple] = None,
-                         block_target: Tuple[int, int] = (8, 16),
-                         block_target_2d: int = 64,
+                         block_target: Tuple[int, int] = (16, 32),
+                         block_target_2d: int = 256,
                          vmem_limit_mb: Optional[int] = None,
+                         debug_mode: str = "full",
                          interpret: bool = False) -> jax.Array:
     """One fused collide-and-stream step via Pallas.
 
@@ -274,68 +381,65 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     assert d in (2, 3)
     minor = shape[-1]
     assert minor % LANES == 0, "minor axis must be a multiple of 128"
+    S = minor // LANES
 
     if d == 2:
-        S = minor // LANES
         YS = S
         by = None
+        bys = None
         bx = _pick_block(shape[0], block_target_2d)
         grid = (shape[0] // bx,)
         merged_shape = (q, shape[0], S, LANES)
         out_block = (q, bx, S, LANES)
         out_index = lambda i: (0, i, 0, 0)
-        slab_rows = YS
-        n_dma_x, n_dma_m = 3, 1
     else:
-        S = minor // LANES
         assert YHALO % S == 0, "Z/128 must divide 8"
         YS = shape[1] * S
-        # by*S must be a multiple of 8 so halo offsets stay tile-aligned
         by = _pick_block(shape[1], block_target[1],
                          multiple=max(1, YHALO // S))
+        bys = by * S
         bx = _pick_block(shape[0], block_target[0])
         grid = (shape[0] // bx, shape[1] // by)
         merged_shape = (q, shape[0], YS, LANES)
-        out_block = (q, bx, by * S, LANES)
+        out_block = (q, bx, bys, LANES)
         out_index = lambda i, j: (0, i, j, 0)
-        slab_rows = by * S + 2 * YHALO
-        n_dma_x, n_dma_m = 3, 3
 
     f_packed = f.reshape(merged_shape)
 
     has_ncm = no_collision_mask is not None
     has_nsm = no_streaming_mask is not None
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    inputs = [f_packed]
+    f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q)
+    in_specs = list(f_specs)
+    inputs = [f_packed] * len(f_specs)
     if has_ncm:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        inputs.append(no_collision_mask.astype(jnp.int32)
-                      .reshape(merged_shape[1:]))
+        ncm_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=None)
+        in_specs += list(ncm_specs)
+        ncm_packed = no_collision_mask.astype(jnp.int32).reshape(
+            merged_shape[1:])
+        inputs += [ncm_packed] * len(ncm_specs)
     if has_nsm:
         in_specs.append(pl.BlockSpec(out_block, out_index,
                                      memory_space=pltpu.VMEM))
         inputs.append(no_streaming_mask.reshape(merged_shape))
 
-    slab_shape = (q, bx + 2, slab_rows, LANES)
-    scratch = [pltpu.VMEM(slab_shape, f.dtype)]
-    n_dma = n_dma_x * n_dma_m * (2 if has_ncm else 1)
-    if has_ncm:
-        scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((n_dma,)))
-
     kernel = partial(
         _stream_collide_kernel,
         e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
-        bx=bx, by=by, S=S, X=shape[0], YS=YS,
+        bx=bx, by=by, S=S,
         has_ncm=has_ncm, has_nsm=has_nsm,
         boundary_kinds=tuple(boundary_kinds),
-        feq_boundary=feq_boundary)
+        feq_boundary=feq_boundary, debug_mode=debug_mode)
 
     compiler_params = None
     if vmem_limit_mb is not None:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+
+    slab_rows = YS if d == 2 else bys + 2 * YHALO
+    scratch = [pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype)]
+    if has_ncm:
+        scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
 
     out = pl.pallas_call(
         kernel,
@@ -419,6 +523,8 @@ def build_fused_step(simulation: "Simulation"):
             f, e, w, opposite, cs, tau_inv,
             no_collision_mask=ncm, no_streaming_mask=nsm,
             boundary_kinds=tuple(boundary_kinds),
-            feq_boundary=tuple(feq_b), interpret=interpret)
+            feq_boundary=tuple(feq_b),
+            vmem_limit_mb=64 if not interpret else None,
+            interpret=interpret)
 
     return step

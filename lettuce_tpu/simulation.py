@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import warnings
 from abc import ABC, abstractmethod
+from functools import partial
 from timeit import default_timer as timer
 from typing import List, Optional
 
@@ -183,6 +184,41 @@ class Simulation:
         for reporter in self.reporter:
             reporter(self)
 
+    def rollout(self, num_steps: int, observables=None, interval: int = 1):
+        """Run ``num_steps`` inside ONE jitted program, gathering observable
+        values every ``interval`` steps on device (no host round-trips —
+        the TPU-first alternative to per-interval Reporter callbacks).
+
+        Returns an array of shape ``[num_steps // interval, n_observables]``
+        (empty when ``observables`` is None). The flow state advances as
+        with a normal call.
+        """
+        observables = observables or []
+        n_chunks = num_steps // max(1, interval)
+        rem = num_steps - n_chunks * interval
+
+        step = self._step
+
+        def chunk(f, _):
+            f = jax.lax.fori_loop(0, interval, lambda _, fi: step(fi), f)
+            if observables:
+                vals = jnp.stack([jnp.asarray(obs(f), dtype=f.dtype)
+                                  for obs in observables])
+            else:
+                vals = jnp.zeros((0,), dtype=f.dtype)
+            return f, vals
+
+        @partial(jax.jit, donate_argnums=0)
+        def run(f):
+            f, records = jax.lax.scan(chunk, f, None, length=n_chunks)
+            if rem:
+                f = jax.lax.fori_loop(0, rem, lambda _, fi: step(fi), f)
+            return f, records
+
+        self.flow.f, records = run(self.flow.f)
+        self.flow.i += num_steps
+        return records
+
     def __call__(self, num_steps: int) -> float:
         beg = timer()
 
@@ -202,7 +238,11 @@ class Simulation:
             if g is not None:
                 self._report()
 
+        # a real one-element fetch, not just block_until_ready: remote
+        # runtimes may resolve the ready-future before execution finishes,
+        # which would inflate MLUPS
         jax.block_until_ready(self.flow.f)
+        _ = float(self.flow.f.ravel()[0])
         end = timer()
         return (num_steps * float(np.prod(self.flow.resolution))
                 / 1e6 / (end - beg))

@@ -109,3 +109,33 @@ def test_error_reporter_decreasing_resolution_error(fix_context):
     errors = np.asarray(out)
     assert np.all(np.isfinite(errors))
     assert errors[:, 0].max() < 0.05  # small error for resolved TGV
+
+
+def test_rollout_on_device_observables(fix_context):
+    """Simulation.rollout gathers observables inside one jitted scan and
+    matches the per-step reporter values."""
+    def make():
+        return lt.TaylorGreenVortex(fix_context, 16, 100, 0.05,
+                                    stencil=lt.D2Q9())
+
+    flow_a = make()
+    sim_a = lt.Simulation(
+        flow_a, lt.BGKCollision(flow_a.units.relaxation_parameter_lu), [])
+    records = sim_a.rollout(6, observables=[
+        lt.IncompressibleKineticEnergy(flow_a),
+        lt.MaximumVelocity(flow_a)], interval=2)
+    assert records.shape == (3, 2)
+    assert flow_a.i == 6
+
+    flow_b = make()
+    rep = lt.ObservableReporter(
+        lt.IncompressibleKineticEnergy(flow_b), interval=2, out=[])
+    sim_b = lt.Simulation(
+        flow_b, lt.BGKCollision(flow_b.units.relaxation_parameter_lu),
+        [rep])
+    sim_b(6)
+    energies_reporter = [row[2] for row in rep.out[1:]]  # skip step-0 row
+    np.testing.assert_allclose(np.asarray(records)[:, 0],
+                               energies_reporter, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(flow_a.f),
+                                  np.asarray(flow_b.f))
