@@ -50,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_fused_step", "fused_stream_collide"]
+__all__ = ["build_fused_step", "gate_fused_params", "fused_stream_collide"]
 
 LANES = 128
 YHALO = 8  # merged-axis halo depth in rows (tile-aligned); S rows are used
@@ -66,41 +66,54 @@ def _pick_block(extent: int, target: int, multiple: int = 1) -> int:
     return best
 
 
-def _roll_minor(x, shift: int, S: int):
+class _RollMasks:
+    """Hoisted boolean masks shared by every per-q minor-axis roll."""
+
+    def __init__(self, shape, S: int):
+        ndim = len(shape)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, ndim - 1)
+        self.lane0 = lane == 0
+        self.laneL = lane == LANES - 1
+        rows = shape[-2]
+        if S not in (1, rows):
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, ndim - 2)
+            s_phase = row % S
+            self.s0 = s_phase == 0
+            self.sS = s_phase == S - 1
+
+
+def _roll_minor(x, shift: int, S: int, masks: "_RollMasks"):
     """Periodic shift of the minor spatial axis packed as (rows, 128
     lanes), where each z-column group occupies ``S`` consecutive rows. For
     2D pass S == row count (a single group; exact periodic roll)."""
     if shift == 0:
         return x
     rows = x.shape[-2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     if S == rows:
         if shift == 1:
             a = pltpu.roll(x, 1, axis=x.ndim - 1)
             b = pltpu.roll(a, 1, axis=x.ndim - 2)
-            return jnp.where(lane == 0, b, a)
+            return jnp.where(masks.lane0, b, a)
         else:
             a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
             b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
-            return jnp.where(lane == LANES - 1, b, a)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    s_phase = row % S
+            return jnp.where(masks.laneL, b, a)
     if shift == 1:
         a = pltpu.roll(x, 1, axis=x.ndim - 1)
         if S == 1:
             return a  # wrap stays within the row
         b = pltpu.roll(a, 1, axis=x.ndim - 2)
         c = pltpu.roll(a, rows - (S - 1), axis=x.ndim - 2)
-        carry = jnp.where(s_phase == 0, c, b)
-        return jnp.where(lane == 0, carry, a)
+        carry = jnp.where(masks.s0, c, b)
+        return jnp.where(masks.lane0, carry, a)
     else:
         a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
         if S == 1:
             return a
         b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
         c = pltpu.roll(a, S - 1, axis=x.ndim - 2)
-        carry = jnp.where(s_phase == S - 1, c, b)
-        return jnp.where(lane == LANES - 1, carry, a)
+        carry = jnp.where(masks.sS, c, b)
+        return jnp.where(masks.laneL, carry, a)
 
 
 def _feq_terms(e_row, w_q, cs2, rho, u, u2):
@@ -329,6 +342,10 @@ def _stream_collide_kernel(
         return acc
 
     quad_cache = {}
+    slab_val_shape = ((bx + 2, yhalo + by * S + yhalo, LANES) if is3d
+                      else (bx + 2, slab.shape[-2], LANES))
+    roll_masks = _RollMasks(slab_val_shape, S if is3d else
+                            slab_val_shape[-2])
 
     for qi in range(q):
         fi = read(qi)
@@ -364,7 +381,8 @@ def _stream_collide_kernel(
         if debug_mode == "no_zroll":
             shifted = fpost
         else:
-            shifted = _roll_minor(fpost, ez, S if is3d else fpost.shape[-2])
+            shifted = _roll_minor(fpost, ez, S if is3d else fpost.shape[-2],
+                                  roll_masks)
         ex = int(e[qi, 0])
         if is3d:
             ey = int(e[qi, 1])
@@ -483,15 +501,14 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     return out.reshape(f.shape)
 
 
-def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
-    """Capability-gated construction of the fused step for a Simulation.
-
-    With ``dev_storage`` the returned step operates on bfloat16 deviation
-    state g = f - w_q (see fused_stream_collide).
+def gate_fused_params(simulation: "Simulation") -> dict:
+    """Capability gating + static kernel parameters for a Simulation.
 
     Raises NotImplementedError when any component cannot run inside the
-    kernel; the Simulation then falls back to the jnp path (mirroring the
-    reference's native_available probes, ``_simulation.py:100-115``).
+    kernel (mirroring the reference's native_available probes,
+    ``_simulation.py:100-115``). Returns the keyword arguments shared by
+    the single-device and sharded fused steps (everything except the mask
+    arrays, which the sharded path supplies per shard).
     """
     from ..collision import BGKCollision, NoCollision
     from ..equilibrium import QuadraticEquilibrium
@@ -544,6 +561,21 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     cs = float(stencil.cs)
     interpret = simulation.context.platform not in ("tpu",)
 
+    return dict(e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
+                boundary_kinds=tuple(boundary_kinds),
+                feq_boundary=tuple(feq_b),
+                vmem_limit_mb=64 if not interpret else None,
+                interpret=interpret)
+
+
+def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
+    """Single-device fused step with the simulation's masks baked in.
+
+    With ``dev_storage`` the returned step operates on bfloat16 deviation
+    state g = f - w_q (see fused_stream_collide).
+    """
+    params = gate_fused_params(simulation)
+
     ncm = simulation.no_collision_mask
     nsm = simulation.no_streaming_mask
     if nsm is not None and not bool(np.any(np.asarray(nsm))):
@@ -551,12 +583,7 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
 
     def step(f):
         return fused_stream_collide(
-            f, e, w, opposite, cs, tau_inv,
-            no_collision_mask=ncm, no_streaming_mask=nsm,
-            boundary_kinds=tuple(boundary_kinds),
-            feq_boundary=tuple(feq_b),
-            vmem_limit_mb=64 if not interpret else None,
-            dev_storage=dev_storage,
-            interpret=interpret)
+            f, no_collision_mask=ncm, no_streaming_mask=nsm,
+            dev_storage=dev_storage, **params)
 
     return step

@@ -152,12 +152,89 @@ class DomainDecomposition:
             x, NamedSharding(self.mesh, self.grid_spec(x.ndim)))
 
     # ------------------------------------------------------------------
+    def _native_local_step(self, simulation: "Simulation", params: dict,
+                           axis_name: str, n_shards: int):
+        """Per-shard fused-Pallas step with halo fix-up.
+
+        The fused kernel runs on the local shard with *locally periodic*
+        topology — its pull-streaming wraps at the shard edges, which is
+        wrong only on the first x-plane (for e_x = +1 populations) and the
+        last (e_x = -1). Those planes are corrected afterwards: each shard
+        collides its own edge planes pointwise (jnp), sends them to the
+        neighbours over ICI (`ppermute`), and overwrites the two planes
+        with the received post-collision values shifted in the remaining
+        directions — exactly what a globally periodic pull would have read.
+        """
+        import numpy as np_
+
+        flow = simulation.flow
+        collision = simulation.collision
+        boundaries = simulation.boundaries
+        e = np_.asarray(flow.stencil.e)
+        q, d = e.shape
+        fwd = _ring_perm(n_shards, 1)    # data moves +x
+        bwd = _ring_perm(n_shards, -1)
+
+        def collide_local(f, ncm_l):
+            """Pointwise collide + mask composition (valid on any slab)."""
+            if ncm_l is None:
+                fp = collision(flow.view(f))
+                for b in boundaries[1:]:
+                    fp = b(flow.view(fp))
+            else:
+                fp = jnp.where(ncm_l == 0, collision(flow.view(f)), f)
+                for i, b in enumerate(boundaries[1:], start=1):
+                    fp = jnp.where(ncm_l == i, b(flow.view(fp)), fp)
+            return fp
+
+        def step(f, ncm_l, nsm_l):
+            from ..ops.pallas.stream_collide import fused_stream_collide
+            out = fused_stream_collide(
+                f, no_collision_mask=ncm_l, no_streaming_mask=nsm_l,
+                **params)
+
+            # post-collision edge planes of THIS shard
+            last = f.shape[1] - 1
+            ncm_first = None if ncm_l is None else ncm_l[:1]
+            ncm_last = None if ncm_l is None else ncm_l[last:]
+            fp_first = collide_local(f[:, :1], ncm_first)
+            fp_last = collide_local(f[:, last:], ncm_last)
+
+            # exchange: my last plane -> right neighbour; first -> left
+            recv_left = jax.lax.ppermute(fp_last, axis_name, fwd)
+            recv_right = jax.lax.ppermute(fp_first, axis_name, bwd)
+
+            roll_axes = tuple(range(d - 1))  # plane axes (y[, z])
+            for qi in range(q):
+                ex = int(e[qi, 0])
+                if ex == 0:
+                    continue
+                rest = tuple(int(s) for s in e[qi, 1:])
+                if ex == 1:
+                    fixed = jnp.roll(recv_left[qi, 0], rest, axis=roll_axes)
+                    if nsm_l is not None:
+                        fixed = jnp.where(nsm_l[qi, 0], out[qi, 0], fixed)
+                    out = out.at[qi, 0].set(fixed)
+                else:
+                    fixed = jnp.roll(recv_right[qi, 0], rest,
+                                     axis=roll_axes)
+                    if nsm_l is not None:
+                        fixed = jnp.where(nsm_l[qi, last], out[qi, last],
+                                          fixed)
+                    out = out.at[qi, last].set(fixed)
+            return out
+
+        return step
+
     def shard_step(self, simulation: "Simulation"):
         """Build the shard_mapped collide-and-stream step for a Simulation.
 
         Collision, equilibria and the mask-coded boundary composition are
         pointwise in space, so they run unchanged on local shards; only the
-        streaming communicates (one-plane ppermute per sharded axis).
+        streaming communicates (one-plane ppermute per sharded axis). When
+        every component supports the fused Pallas kernel and the sharding
+        is 1D over x, the local step is the fused kernel with halo fix-up
+        (see :meth:`_native_local_step`).
         """
         from ._shard_map_compat import shard_map
 
@@ -185,9 +262,23 @@ class DomainDecomposition:
         has_ncm = ncm is not None
         has_nsm = nsm is not None
 
+        # try the fused-kernel local step (1D x-sharding only)
+        native_step = None
+        if simulation.context.use_native and self.grid_axes == (0,):
+            try:
+                from ..ops.pallas.stream_collide import gate_fused_params
+                params = gate_fused_params(simulation)
+                native_step = self._native_local_step(
+                    simulation, params, self.axis_names[0],
+                    self.mesh_shape[0])
+            except NotImplementedError:
+                native_step = None
+
         def local_step(f, ncm_in, nsm_in):
             ncm_l = ncm_in if has_ncm else None
             nsm_l = nsm_in if has_nsm else None
+            if native_step is not None:
+                return native_step(f, ncm_l, nsm_l)
             # collide (pointwise -> valid on local shards)
             if ncm_l is None:
                 f_post = collision(flow.view(f))

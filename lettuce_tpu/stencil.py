@@ -109,11 +109,15 @@ class JaxStencil:
     cs: float = 1.0 / np.sqrt(3.0)
 
     def __init__(self, stencil: Stencil, context: "Context"):
+        import jax.numpy as jnp
+
         self.stencil = stencil
-        self.e = context.convert_to_tensor(stencil.e, dtype=context.dtype)
-        self.w = context.convert_to_tensor(stencil.w, dtype=context.dtype)
-        self.opposite = context.convert_to_tensor(
-            np.asarray(stencil.opposite, dtype=np.int32), dtype=np.int32)
+        # deliberately UNcommitted (no device_put): these small constants
+        # must combine freely with both single-device and mesh-sharded
+        # state arrays
+        self.e = jnp.asarray(stencil.e, dtype=context.dtype)
+        self.w = jnp.asarray(stencil.w, dtype=context.dtype)
+        self.opposite = jnp.asarray(stencil.opposite, dtype=jnp.int32)
 
     @property
     def d(self) -> int:

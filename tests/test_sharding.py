@@ -104,3 +104,55 @@ def test_sharded_stream_matches_roll(ctx64):
         mesh=mesh, in_specs=(spec,), out_specs=spec)
     got = np.asarray(mapped(f))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_sharded_native_kernel_matches_single_device():
+    """Fused Pallas kernel under shard_map (locally periodic + ppermute
+    halo fix-up) matches the single-device kernel path."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_ref = make(True)
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(5)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    sim_sh(5)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), atol=1e-6)
+
+
+def test_sharded_native_with_boundaries():
+    """Sharded fused kernel with bounce-back + equilibrium walls."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        return lt.CouetteFlow2D(ctx, [64, 128], reynolds_number=10,
+                                mach_number=0.05)
+
+    flow_ref = make(True)
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(6)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    sim_sh(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), atol=1e-6)
