@@ -183,12 +183,30 @@ class Simulation:
         except NotImplementedError:
             return None
 
+    def _loop(self, step, x, n):
+        # steps per loop-carry update: XLA while-loops cannot alias a
+        # pallas_call output into the carry buffer, so every carry update
+        # pays one full-array copy; unrolling amortises it (measured:
+        # 1324 -> 3097 MLUPS f32 / 5907 bf16-dev at D3Q19 256^3). On CPU
+        # (tests) the extra trace/compile time isn't worth it.
+        u = 32 if self.context.platform == "tpu" else 1
+        if u == 1:
+            return jax.lax.fori_loop(0, n, lambda _, xi: step(xi), x)
+
+        def body_u(_, xi):
+            for _ in range(u):
+                xi = step(xi)
+            return xi
+
+        x = jax.lax.fori_loop(0, n // u, body_u, x)
+        return jax.lax.fori_loop(0, n % u, lambda _, xi: step(xi), x)
+
     def _run_steps(self, f: jax.Array, n) -> jax.Array:
         if self._step_dev is not None:
             g = (f - self._w_dev).astype(jnp.bfloat16)
-            g = jax.lax.fori_loop(0, n, lambda _, gi: self._step_dev(gi), g)
+            g = self._loop(self._step_dev, g, n)
             return g.astype(f.dtype) + self._w_dev
-        return jax.lax.fori_loop(0, n, lambda _, fi: self._step(fi), f)
+        return self._loop(self._step, f, n)
 
     # ------------------------------------------------------------------
     # public API
@@ -222,7 +240,7 @@ class Simulation:
         step = self._step
 
         def chunk(f, _):
-            f = jax.lax.fori_loop(0, interval, lambda _, fi: step(fi), f)
+            f = self._loop(step, f, interval)
             if observables:
                 vals = jnp.stack([jnp.asarray(obs(f), dtype=f.dtype)
                                   for obs in observables])
