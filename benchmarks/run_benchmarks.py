@@ -15,7 +15,10 @@ import argparse
 import json
 import os
 import platform as host_platform
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +31,9 @@ def bench_config(name, make_flow, collision_factory, steps, use_native):
     context = lt.Context(dtype=jnp.float32, use_native=use_native)
     flow = make_flow(context)
     simulation = lt.Simulation(flow, collision_factory(flow), [])
-    warm = max(2, steps // 10)
+    # warm past one unrolled carry body (32 steps) so compilation stays
+    # out of the timed run
+    warm = max(40, steps // 10)
     simulation(warm)
     mlups = simulation(steps)
     return {
@@ -44,6 +49,8 @@ def bench_config(name, make_flow, collision_factory, steps, use_native):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", default="",
+                        help="substring filter on config names")
     args = parser.parse_args()
 
     import lettuce_tpu as lt
@@ -51,9 +58,10 @@ def main():
     device = jax.devices()[0]
     on_accel = device.platform in ("tpu", "gpu")
     scale = 1 if on_accel else 8  # shrink grids on CPU
-    steps = 100 if on_accel else 5
     if args.quick:
-        steps = max(5, steps // 5)
+        base_steps = 20 if on_accel else 2
+    else:
+        base_steps = 100 if on_accel else 5
 
     def bgk(flow):
         return lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
@@ -84,17 +92,39 @@ def main():
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "runs": [],
     }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    if os.path.exists(out_path):  # accumulate across chunked runs
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            results["runs"] = [r for r in prev.get("runs", [])]
+        except Exception:
+            pass
+
     for name, make_flow, coll in configs:
+        if args.only and args.only not in name:
+            continue
         for use_native in ((True, False) if on_accel else (True,)):
             try:
+                # aim for >= ~2e9 site updates per timed run so dispatch
+                # overhead vanishes on small grids
+                probe_flow = make_flow(lt.Context(dtype=jnp.float32,
+                                                  use_native=False))
+                cells = int(np.prod(probe_flow.resolution))
+                del probe_flow
+                steps = max(base_steps, min(3000, int(2e9 / cells))) \
+                    if on_accel else base_steps
                 row = bench_config(name, make_flow, coll, steps, use_native)
+                results["runs"] = [r for r in results["runs"]
+                                   if not (r["name"] == row["name"]
+                                           and r["path"] == row["path"])]
                 results["runs"].append(row)
                 print(json.dumps(row), flush=True)
             except Exception as ex:  # keep the suite running
                 print(f"{name} native={use_native}: FAILED {ex}",
                       flush=True)
 
-    out_path = os.path.join(os.path.dirname(__file__), "results.json")
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(f"written {out_path}")

@@ -405,7 +405,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          boundary_kinds: Tuple[Tuple[str, int], ...] = (),
                          feq_boundary: Optional[tuple] = None,
                          block_target: Tuple[int, int] = (16, 32),
-                         block_target_2d: int = 256,
+                         block_target_2d: int = 128,
                          vmem_limit_mb: Optional[int] = None,
                          dev_storage: bool = False,
                          debug_mode: str = "full",
@@ -431,7 +431,11 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         YS = S
         by = None
         bys = None
-        bx = _pick_block(shape[0], block_target_2d)
+        # cap the output block at ~4 MB so double-buffering fits VMEM at
+        # any grid size
+        cap = max(8, (4 * 1024 * 1024)
+                  // (q * YS * LANES * jnp.dtype(f.dtype).itemsize))
+        bx = _pick_block(shape[0], min(block_target_2d, cap))
         grid = (shape[0] // bx,)
         merged_shape = (q, shape[0], S, LANES)
         out_block = (q, bx, S, LANES)

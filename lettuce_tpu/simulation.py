@@ -216,6 +216,19 @@ class Simulation:
                       "directly: simulation(num_steps)", DeprecationWarning)
         return self(num_steps)
 
+    def profile(self, num_steps: int, trace_dir: str = "/tmp/lettuce_trace"
+                ) -> float:
+        """Run ``num_steps`` under ``jax.profiler.trace`` and return MLUPS.
+
+        The reference exposes cProfile in its CLI benchmark
+        (``cli.py:87-121``); on TPU the useful signal is the device trace
+        (view with TensorBoard / xprof, or parse the .trace.json.gz).
+        """
+        self(max(1, num_steps // 10))  # compile outside the trace
+        with jax.profiler.trace(trace_dir):
+            mlups = self(num_steps)
+        return mlups
+
     @property
     def units(self):
         return self.flow.units

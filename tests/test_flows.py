@@ -128,3 +128,22 @@ def test_rollout_differentiable(fix_context):
     g = jax.grad(loss)(flow.f)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_tgv3d_enstrophy_rises_then_physics_sane(fix_context):
+    """3D TGV at moderate Re: enstrophy grows as vortices stretch
+    (the classic Re=1600 benchmark shape), energy decays monotonically."""
+    flow = lt.TaylorGreenVortex(fix_context, 32, 400, 0.1,
+                                stencil=lt.D3Q19())
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    enst = lt.Enstrophy(flow)
+    energy = lt.IncompressibleKineticEnergy(flow)
+    # enstrophy peaks around t_pu ~ 4-6; 600 steps here reach t_pu ~ 6.8
+    records = sim.rollout(600, observables=[energy, enst], interval=100)
+    rec = np.asarray(records)
+    assert np.all(np.isfinite(rec))
+    # energy decays monotonically
+    assert np.all(np.diff(rec[:, 0]) < 0)
+    # enstrophy rises (vortex stretching) before viscous decay
+    assert rec[1:, 1].max() > rec[0, 1]
