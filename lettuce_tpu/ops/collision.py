@@ -117,6 +117,9 @@ class TRTCollision(Collision):
                        / (2.0 * self.tau_minus))
         return flow.f - f_diff_neq
 
+    def native_available(self) -> bool:
+        return True
+
 
 class MRTCollision(Collision):
     """Multi-relaxation-time collision in an arbitrary (possibly nonlinear)
@@ -162,6 +165,9 @@ class RegularizedCollision(Collision):
         w = flow.torch_stencil.w.reshape((-1,) + (1,) * flow.stencil.d)
         fi1 = w * pi_neq / (2 * cs4)
         return feq + (1.0 - 1.0 / tau) * fi1
+
+    def native_available(self) -> bool:
+        return True
 
 
 class KBCCollision(Collision):
@@ -276,6 +282,10 @@ class KBCCollision(Collision):
         gamma_stab = jnp.where(jnp.isnan(gamma_stab), 2.0, gamma_stab)
         return flow.f - beta * (2 * delta_s + gamma_stab * delta_h)
 
+    def native_available(self) -> bool:
+        # the kernel fragment supports D2Q9/D3Q27 (checked at build time)
+        return True
+
 
 class KBCCollision2D(KBCCollision):
     def __init__(self, tau: float = None):
@@ -323,3 +333,6 @@ class SmagorinskyCollision(Collision):
             tau_eff = nu_eff * 3.0 + 0.5
         si = 0 if self.force is None else self.force.source_term(u)
         return flow.f - 1.0 / tau_eff * (flow.f - feq) + si
+
+    def native_available(self) -> bool:
+        return self.force is None

@@ -229,6 +229,319 @@ def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
             k += 1
 
 
+
+def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
+                  dev_storage):
+    """Build the per-q post-collision function for a collision spec.
+
+    Each collision operator is a *kernel fragment*: a closure producing
+    fpost(qi) from the slab populations and the precomputed moments — the
+    Pallas analog of the reference's NativeCollision emitters
+    (``cuda_native/ext/_collision/``). All fragments work in deviation
+    form too: every formula below is shift-invariant in f -> f - w except
+    KBC's feq division, which reconstructs true values with one constant
+    add.
+
+    Specs: ("none",) | ("bgk", tau_inv) | ("trt", tau_plus, tau_minus) |
+    ("reg", tau) | ("smag", tau, C) | ("kbc", tau).
+    """
+    q = e.shape[0]
+    cs2 = cs * cs
+    kind = spec[0]
+
+    if kind == "none":
+        return read
+
+    up = [uc * (1.0 / cs2) for uc in u]
+
+    def canonical(qi):
+        row = [int(c) for c in e[qi]]
+        for c in row:
+            if c > 0:
+                return tuple(row)
+            if c < 0:
+                return tuple(-x for x in row)
+        return tuple(row)
+
+    def eu_of(qi):
+        acc = None
+        for comp, uc in zip(e[qi], up):
+            if comp == 0:
+                continue
+            term = uc if comp == 1 else -uc
+            acc = term if acc is None else acc + term
+        return acc
+
+    if kind == "bgk":
+        # specialised: feq pre-multiplied by tau_inv, fpost = keep f + t feq
+        tau_inv = spec[1]
+        keep = 1.0 - tau_inv
+        base = tau_inv * (rho - rho * (u2 * (0.5 / cs2)))
+        if dev_storage:
+            base = base - tau_inv
+        trho = tau_inv * rho
+        quad_cache = {}
+
+        def fpost_bgk(qi):
+            fi = read(qi)
+            eu = eu_of(qi)
+            if eu is None:
+                feq_t = float(w[qi]) * base
+            else:
+                key = canonical(qi)
+                quad = quad_cache.get(key)
+                if quad is None:
+                    quad = trho * (eu * eu * 0.5)
+                    quad_cache[key] = quad
+                feq_t = float(w[qi]) * (base + trho * eu + quad)
+            return keep * fi + feq_t
+        return fpost_bgk
+
+    # raw (not tau-scaled) equilibrium shared by the remaining fragments
+    base0 = rho - rho * (u2 * (0.5 / cs2))
+    if dev_storage:
+        base0 = base0 - 1.0
+    quad_cache0 = {}
+
+    def feq_raw(qi):
+        eu = eu_of(qi)
+        if eu is None:
+            return float(w[qi]) * base0
+        key = canonical(qi)
+        quad = quad_cache0.get(key)
+        if quad is None:
+            quad = rho * (eu * eu * 0.5)
+            quad_cache0[key] = quad
+        return float(w[qi]) * (base0 + rho * eu + quad)
+
+    if kind == "trt":
+        _, tau_plus, tau_minus = spec
+        cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
+
+        def fpost_trt(qi):
+            qo = int(opposite[qi])
+            fi, fo = read(qi), read(qo)
+            feqi, feqo = feq_raw(qi), feq_raw(qo)
+            sp = (fi + fo) - (feqi + feqo)
+            sm = (fi - fo) - (feqi - feqo)
+            return fi - cp * sp - cm * sm
+        return fpost_trt
+
+    if kind in ("reg", "smag"):
+        tau = spec[1]
+        # Pi_neq_ab = sum_q e_a e_b (f_q - feq_q), symmetric d x d
+        pairs = [(a, b) for a in range(d) for b in range(a, d)]
+        Pi = {p: None for p in pairs}
+        for qi in range(q):
+            coeffs = {}
+            for (a, b) in pairs:
+                c = int(e[qi, a]) * int(e[qi, b])
+                if c:
+                    coeffs[(a, b)] = c
+            if not coeffs:
+                continue
+            fneq = read(qi) - feq_raw(qi)
+            for p, c in coeffs.items():
+                term = fneq if c == 1 else -fneq
+                Pi[p] = term if Pi[p] is None else Pi[p] + term
+
+        if kind == "reg":
+            fac = 1.0 - 1.0 / tau
+            inv2cs4 = 0.5 / (cs2 * cs2)
+
+            def fpost_reg(qi):
+                # Q_q : Pi_neq with Q = e e - cs2 I (static coefficients)
+                acc = None
+                for (a, b) in pairs:
+                    if Pi[(a, b)] is None:
+                        continue
+                    coef = float(e[qi, a]) * float(e[qi, b])
+                    if a == b:
+                        coef -= cs2
+                    else:
+                        coef *= 2.0  # symmetric off-diagonals
+                    if coef == 0.0:
+                        continue
+                    term = Pi[(a, b)] * coef
+                    acc = term if acc is None else acc + term
+                fi1 = (float(w[qi]) * inv2cs4) * acc
+                return feq_raw(qi) + fac * fi1
+            return fpost_reg
+
+        # smagorinsky: effective tau field by 2-step fixed point
+        _, tau, const = spec
+        nu = (tau - 0.5) / 3.0
+        inv2rhocs2 = 1.0 / (2.0 * cs2) / rho
+        S_shear = {p: (Pi[p] * inv2rhocs2 if Pi[p] is not None else None)
+                   for p in pairs}
+        tau_eff = tau
+        for _i in range(2):
+            ssum = None
+            for (a, b) in pairs:
+                if S_shear[(a, b)] is None:
+                    continue
+                t2 = (S_shear[(a, b)] / tau_eff) ** 2
+                if a != b:
+                    t2 = t2 * 2.0  # full-tensor sum counts both triangles
+                ssum = t2 if ssum is None else ssum + t2
+            nu_t = const * const * ssum
+            tau_eff = (nu + nu_t) * 3.0 + 0.5
+        tau_eff_inv = 1.0 / tau_eff
+
+        def fpost_smag(qi):
+            fi = read(qi)
+            return fi - tau_eff_inv * (fi - feq_raw(qi))
+        return fpost_smag
+
+    if kind == "kbc":
+        tau = spec[1]
+        beta = 1.0 / (2.0 * tau)
+        w_np = w
+
+        def add_w(qi, x):
+            return x + float(w_np[qi]) if dev_storage else x
+
+        # normalised second moments of f: m_ab = (sum e^a e^b f) / rho
+        def second_moment(sel):
+            acc = None
+            for qi in range(q):
+                c = sel(qi)
+                if c == 0:
+                    continue
+                fi = read(qi)
+                term = fi if c == 1 else -fi
+                acc = term if acc is None else acc + term
+            # dev shift: sum e^a e^b w must be added back. For diagonal
+            # (a==a) moments sum w e_a^2 = cs2; mixed moments vanish.
+            return acc
+
+        inv_rho = 1.0 / rho
+        if d == 3:
+            m200 = second_moment(lambda qi: int(e[qi, 0]) ** 2) * inv_rho
+            m020 = second_moment(lambda qi: int(e[qi, 1]) ** 2) * inv_rho
+            m002 = second_moment(lambda qi: int(e[qi, 2]) ** 2) * inv_rho
+            if dev_storage:
+                m200 = m200 + cs2 * inv_rho
+                m020 = m020 + cs2 * inv_rho
+                m002 = m002 + cs2 * inv_rho
+            mxy = second_moment(
+                lambda qi: int(e[qi, 0]) * int(e[qi, 1])) * inv_rho
+            mxz = second_moment(
+                lambda qi: int(e[qi, 0]) * int(e[qi, 2])) * inv_rho
+            myz = second_moment(
+                lambda qi: int(e[qi, 1]) * int(e[qi, 2])) * inv_rho
+            T_f = m200 + m020 + m002
+            Nxz_f = m200 - m002
+            Nyz_f = m020 - m002
+            # analytic feq moments (quadratic equilibrium on D3Q27):
+            # m_ab(feq)/rho = u_a u_b + cs2 delta_ab
+            T_e = u2 + 3 * cs2
+            Nxz_e = u[0] * u[0] - u[2] * u[2]
+            Nyz_e = u[1] * u[1] - u[2] * u[2]
+            mxy_e, mxz_e, myz_e = u[0] * u[1], u[0] * u[2], u[1] * u[2]
+
+            def s_of(qi, T, Nxz, Nyz, Pxy, Pxz, Pyz):
+                # index-coded table (first 19 directions carry s, rest 0)
+                if qi == 0:
+                    return rho * -T
+                if qi in (1, 2):
+                    return (1. / 6.) * rho * (2 * Nxz - Nyz + T)
+                if qi in (3, 4):
+                    return (1. / 6.) * rho * (2 * Nyz - Nxz + T)
+                if qi in (5, 6):
+                    return (1. / 6.) * rho * (-Nxz - Nyz + T)
+                if qi in (7, 8):
+                    return 0.25 * rho * Pyz
+                if qi in (9, 10):
+                    return -0.25 * rho * Pyz
+                if qi in (11, 12):
+                    return 0.25 * rho * Pxz
+                if qi in (13, 14):
+                    return -0.25 * rho * Pxz
+                if qi in (15, 16):
+                    return 0.25 * rho * Pxy
+                if qi in (17, 18):
+                    return -0.25 * rho * Pxy
+                return None
+
+            def delta_s(qi):
+                sf = s_of(qi, T_f, Nxz_f, Nyz_f, mxy, mxz, myz)
+                se = s_of(qi, T_e, Nxz_e, Nyz_e, mxy_e, mxz_e, myz_e)
+                if sf is None:
+                    return None
+                return sf - se
+        else:
+            m20 = second_moment(lambda qi: int(e[qi, 0]) ** 2) * inv_rho
+            m02 = second_moment(lambda qi: int(e[qi, 1]) ** 2) * inv_rho
+            if dev_storage:
+                m20 = m20 + cs2 * inv_rho
+                m02 = m02 + cs2 * inv_rho
+            mxy = second_moment(
+                lambda qi: int(e[qi, 0]) * int(e[qi, 1])) * inv_rho
+            T_f, N_f = m20 + m02, m20 - m02
+            T_e = u2 + 2 * cs2
+            N_e = u[0] * u[0] - u[1] * u[1]
+            mxy_e = u[0] * u[1]
+
+            def s_of(qi, T, N, Pxy):
+                if qi == 0:
+                    return rho * -T
+                if qi in (1, 3):
+                    return 0.25 * rho * (T + N)
+                if qi in (2, 4):
+                    return 0.25 * rho * (T - N)
+                if qi in (5, 7):
+                    return 0.25 * rho * Pxy
+                if qi in (6, 8):
+                    return -0.25 * rho * Pxy
+                return None
+
+            def delta_s(qi):
+                sf = s_of(qi, T_f, N_f, mxy)
+                se = s_of(qi, T_e, N_e, mxy_e)
+                return None if sf is None else sf - se
+
+        # gamma stabiliser: sums over q of ds*dh/feq and dh^2/feq
+        sum_s = None
+        sum_h = None
+        for qi in range(q):
+            feq_t = add_w(qi, feq_raw(qi))
+            f_t = add_w(qi, read(qi))
+            ds = delta_s(qi)
+            if ds is None:
+                dh = f_t - feq_t
+            else:
+                dh = f_t - feq_t - ds
+            inv_feq = 1.0 / feq_t
+            if ds is not None:
+                term_s = ds * dh * inv_feq
+                sum_s = term_s if sum_s is None else sum_s + term_s
+            term_h = dh * dh * inv_feq
+            sum_h = term_h if sum_h is None else sum_h + term_h
+
+        inv_beta = 1.0 / beta
+        gamma = inv_beta - (2.0 - inv_beta) * sum_s / sum_h
+        gamma = jnp.where(gamma < 1e-15, 2.0, gamma)
+        gamma = jnp.where(jnp.isnan(gamma), 2.0, gamma)
+
+        def fpost_kbc(qi):
+            feq_t = add_w(qi, feq_raw(qi))
+            f_t = add_w(qi, read(qi))
+            ds = delta_s(qi)
+            if ds is None:
+                dh = f_t - feq_t
+                out = f_t - beta * (gamma * dh)
+            else:
+                dh = f_t - feq_t - ds
+                out = f_t - beta * (2.0 * ds + gamma * dh)
+            if dev_storage:
+                out = out - float(w_np[qi])
+            return out
+        return fpost_kbc
+
+    raise NotImplementedError(kind)
+
+
 def _stream_collide_kernel(
         *refs,
         e: np.ndarray, w: np.ndarray, opposite: np.ndarray, cs: float,
@@ -236,6 +549,7 @@ def _stream_collide_kernel(
         has_ncm: bool, has_nsm: bool,
         boundary_kinds: Tuple[Tuple[str, int], ...],
         feq_boundary: Optional[tuple], yhalo: int = YHALO,
+        collision_spec: Optional[tuple] = None,
         dev_storage: bool = False, debug_mode: str = "full"):
     """Kernel body (2D: by is None). With ``dev_storage`` the state is the
     deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
@@ -307,41 +621,17 @@ def _stream_collide_kernel(
         interior = (slice(1, 1 + bx), slice(None))
 
     # ------------------------------------------------------------------
-    # fused per-q pipeline: collide -> boundary replace -> pull-stream ->
-    # write
+    # fused per-q pipeline: collide (pluggable fragment) -> boundary
+    # replace -> pull-stream -> write
     # ------------------------------------------------------------------
-    # Collide with minimal vector passes:
-    #   feq_q = w_q (base + trho' eu' + trho' eu'^2 / 2),
-    #     base = rho (1 - u2/(2 cs2)),  eu' = e.u / cs2
-    #   fpost = (1 - tau_inv) f + tau_inv feq
-    # The +-e pairs share eu'^2: cache it per canonical signed direction.
-    if debug_mode != "no_collide" and tau_inv is not None:
-        keep = 1.0 - tau_inv
-        base = tau_inv * (rho - rho * (u2 * (0.5 / cs2)))
-        if dev_storage:
-            base = base - tau_inv  # feq_dev = feq - w: w-weighted -1
-        up = [uc * (1.0 / cs2) for uc in u]            # u/cs2
-        trho = tau_inv * rho
+    spec = collision_spec
+    if spec is None:
+        spec = ("none",) if tau_inv is None else ("bgk", tau_inv)
+    if debug_mode == "no_collide":
+        spec = ("none",)
+    fpost_of = _make_collide(spec, e, w, opposite, cs, d, rho, u, u2,
+                             read, dev_storage)
 
-    def canonical(qi):
-        row = [int(c) for c in e[qi]]
-        for c in row:
-            if c > 0:
-                return tuple(row)
-            if c < 0:
-                return tuple(-x for x in row)
-        return tuple(row)
-
-    def eu_of(qi):
-        acc = None
-        for comp, uc in zip(e[qi], up):
-            if comp == 0:
-                continue
-            term = uc if comp == 1 else -uc
-            acc = term if acc is None else acc + term
-        return acc
-
-    quad_cache = {}
     slab_val_shape = ((bx + 2, yhalo + by * S + yhalo, LANES) if is3d
                       else (bx + 2, slab.shape[-2], LANES))
     roll_masks = _RollMasks(slab_val_shape, S if is3d else
@@ -349,20 +639,7 @@ def _stream_collide_kernel(
 
     for qi in range(q):
         fi = read(qi)
-        if debug_mode == "no_collide" or tau_inv is None:
-            fpost = fi
-        else:
-            eu = eu_of(qi)
-            if eu is None:
-                feq_t = float(w[qi]) * base
-            else:
-                key = canonical(qi)
-                quad = quad_cache.get(key)
-                if quad is None:
-                    quad = trho * (eu * eu * 0.5)
-                    quad_cache[key] = quad
-                feq_t = float(w[qi]) * (base + trho * eu + quad)
-            fpost = keep * fi + feq_t
+        fpost = fpost_of(qi)
         if has_ncm:
             fpost = jnp.where(ncm == 0, fpost, fi)
         for kind, index in boundary_kinds:
@@ -407,6 +684,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          block_target: Tuple[int, int] = (16, 32),
                          block_target_2d: int = 128,
                          vmem_limit_mb: Optional[int] = None,
+                         collision_spec: Optional[tuple] = None,
                          dev_storage: bool = False,
                          debug_mode: str = "full",
                          interpret: bool = False) -> jax.Array:
@@ -441,12 +719,18 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         out_block = (q, bx, S, LANES)
         out_index = lambda i: (0, i, 0, 0)
     else:
-        assert YHALO % S == 0, "Z/128 must divide 8"
+        assert yhalo % S == 0, "Z/128 must divide the halo depth"
         YS = shape[1] * S
+        # by*S must be a multiple of yhalo so halo offsets stay aligned
         by = _pick_block(shape[1], block_target[1],
-                         multiple=max(1, YHALO // S))
+                         multiple=max(1, yhalo // S))
         bys = by * S
-        bx = _pick_block(shape[0], block_target[0])
+        # scale the x-block down for larger velocity sets (q > 19) so the
+        # slab + pipeline buffers fit the VMEM budget
+        bx_target = block_target[0]
+        if q > 19:
+            bx_target = max(4, bx_target * 19 // q)
+        bx = _pick_block(shape[0], bx_target)
         grid = (shape[0] // bx, shape[1] // by)
         merged_shape = (q, shape[0], YS, LANES)
         out_block = (q, bx, bys, LANES)
@@ -479,6 +763,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         has_ncm=has_ncm, has_nsm=has_nsm,
         boundary_kinds=tuple(boundary_kinds),
         feq_boundary=feq_boundary, yhalo=yhalo,
+        collision_spec=collision_spec,
         dev_storage=dev_storage, debug_mode=debug_mode)
 
     compiler_params = None
@@ -514,7 +799,9 @@ def gate_fused_params(simulation: "Simulation") -> dict:
     the single-device and sharded fused steps (everything except the mask
     arrays, which the sharded path supplies per shard).
     """
-    from ..collision import BGKCollision, NoCollision
+    from ..collision import (BGKCollision, NoCollision, TRTCollision,
+                             RegularizedCollision, SmagorinskyCollision,
+                             KBCCollision)
     from ..equilibrium import QuadraticEquilibrium
     from ..boundary import BounceBackBoundary, EquilibriumBoundaryPU
 
@@ -532,12 +819,35 @@ def gate_fused_params(simulation: "Simulation") -> dict:
                                   "{128, 256, 512, 1024}")
 
     collision = simulation.collision
+    tau_inv = None
+
+    def _tau_or_units(tau):
+        return float(tau) if tau is not None \
+            else float(flow.units.relaxation_parameter_lu)
+
     if isinstance(collision, BGKCollision):
         if collision.force is not None:
             raise NotImplementedError
         tau_inv = float(1.0 / collision.tau)
+        collision_spec = ("bgk", tau_inv)
     elif isinstance(collision, NoCollision):
-        tau_inv = None
+        collision_spec = ("none",)
+    elif isinstance(collision, TRTCollision):
+        collision_spec = ("trt", float(collision.tau_plus),
+                          float(collision.tau_minus))
+    elif isinstance(collision, SmagorinskyCollision):
+        if collision.force is not None:
+            raise NotImplementedError
+        collision_spec = ("smag", float(collision.tau),
+                          float(collision.constant))
+    elif isinstance(collision, RegularizedCollision):
+        collision_spec = ("reg", _tau_or_units(collision.tau))
+    elif isinstance(collision, KBCCollision):
+        from ..collision import KBCCollision as _KBC
+        from ...stencil import D2Q9 as _D2Q9, D3Q27 as _D3Q27
+        if not isinstance(stencil, (_D2Q9, _D3Q27)):
+            raise NotImplementedError
+        collision_spec = ("kbc", _tau_or_units(collision.tau))
     else:
         raise NotImplementedError
 
@@ -566,6 +876,7 @@ def gate_fused_params(simulation: "Simulation") -> dict:
     interpret = simulation.context.platform not in ("tpu",)
 
     return dict(e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
+                collision_spec=collision_spec,
                 boundary_kinds=tuple(boundary_kinds),
                 feq_boundary=tuple(feq_b),
                 vmem_limit_mb=64 if not interpret else None,

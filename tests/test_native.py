@@ -141,7 +141,8 @@ def test_native_fallback_on_unsupported():
     warning print (reference behaviour, _simulation.py:100-115)."""
     flow = lt.TaylorGreenVortex(_ctx(True), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
-    sim = lt.Simulation(flow, lt.TRTCollision(0.8), [])
+    transform = lt.D2Q9Lallemand(flow.stencil, flow.context)
+    sim = lt.Simulation(flow, lt.MRTCollision(transform, [1.1] * 9), [])
     assert sim._step_kind == "jnp"
     sim(1)  # still runs
 
@@ -174,3 +175,29 @@ def test_half_storage_mode():
     # mass conserved to bf16 accumulation accuracy
     np.testing.assert_allclose(float(flow_h.rho().sum()),
                                float(flow_ref.rho().sum()), rtol=1e-4)
+
+
+@pytest.mark.parametrize("collision_factory,stencil_cls,res", [
+    (lambda fl: lt.TRTCollision(0.8, 1.1), lt.D3Q19, [16, 16, 128]),
+    (lambda fl: lt.RegularizedCollision(0.8), lt.D3Q19, [16, 16, 128]),
+    (lambda fl: lt.SmagorinskyCollision(0.8), lt.D3Q19, [16, 16, 128]),
+    (lambda fl: lt.KBCCollision(), lt.D3Q27, [8, 8, 128]),
+    (lambda fl: lt.KBCCollision(), lt.D2Q9, [16, 128]),
+    (lambda fl: lt.TRTCollision(0.8, 1.1), lt.D2Q9, [16, 128]),
+], ids=["trt-3d", "reg-3d", "smag-3d", "kbc-q27", "kbc-q9", "trt-2d"])
+def test_native_collision_fragments(collision_factory, stencil_cls, res):
+    """Every collision kernel fragment matches its jnp implementation
+    (the north-star requirement: collisions as composable Pallas kernel
+    fragments)."""
+    stencil = stencil_cls()
+    outs = {}
+    for native in (False, True):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        flow = lt.TaylorGreenVortex(ctx, res, 100, 0.05, stencil=stencil,
+                                    initialize_fneq=False)
+        sim = lt.Simulation(flow, collision_factory(flow), [])
+        if native:
+            assert sim._step_kind == "pallas", "fragment did not engage"
+        sim(3)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
