@@ -141,6 +141,12 @@ class MRTCollision(Collision):
         m = m - s_inv.reshape((-1,) + (1,) * (m.ndim - 1)) * (m - meq)
         return self.transform.inverse_transform(m)
 
+    def native_available(self) -> bool:
+        # kernel fragment exists for the D2Q9 transforms with closed-form
+        # equilibrium moments
+        from ..utils.moments import D2Q9Dellar, D2Q9Lallemand
+        return isinstance(self.transform, (D2Q9Lallemand, D2Q9Dellar))
+
 
 class RegularizedCollision(Collision):
     """Regularized LBM (Latt & Chopard 2006; reference

@@ -116,21 +116,6 @@ def _roll_minor(x, shift: int, S: int, masks: "_RollMasks"):
         return jnp.where(masks.laneL, carry, a)
 
 
-def _feq_terms(e_row, w_q, cs2, rho, u, u2):
-    """Quadratic equilibrium for one q: w rho (1 + eu/cs2 + eu^2/(2 cs4)
-    - u2/(2 cs2)) with e.u built by add/sub."""
-    eu = None
-    for comp, uc in zip(e_row, u):
-        if comp == 0:
-            continue
-        term = uc if comp == 1 else -uc
-        eu = term if eu is None else eu + term
-    if eu is None:
-        return w_q * rho * (1.0 - u2 / (2 * cs2))
-    return w_q * rho * (1.0 + eu / cs2 + (eu * eu) / (2 * cs2 * cs2)
-                        - u2 / (2 * cs2))
-
-
 # ----------------------------------------------------------------------
 # halo-as-blocked-inputs plumbing
 # ----------------------------------------------------------------------
@@ -185,26 +170,6 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
             specs.append(pl.BlockSpec(shape, index,
                                       memory_space=pltpu.VMEM))
     return specs
-
-
-def _assemble(parts, is3d: bool, qi=None):
-    """Concatenate centre+halo blocks into one slab value.
-
-    ``parts`` ordered as produced by :func:`_halo_specs`. ``qi`` selects a
-    population when the parts carry a leading q axis.
-    """
-    def g(p):
-        return p[qi] if qi is not None else p[:]
-
-    if not is3d:
-        lo, c, hi = parts
-        return jnp.concatenate([g(lo), g(c), g(hi)], axis=0)
-    cols = []
-    for k in range(3):
-        trio = parts[3 * k: 3 * k + 3]
-        cols.append(jnp.concatenate([g(trio[0]), g(trio[1]), g(trio[2])],
-                                    axis=1))
-    return jnp.concatenate(cols, axis=0)
 
 
 def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
@@ -392,6 +357,66 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
             fi = read(qi)
             return fi - tau_eff_inv * (fi - feq_raw(qi))
         return fpost_smag
+
+    if kind == "mrt":
+        # generic static-matrix multi-relaxation: m = M f (sparse static
+        # accumulation), relax towards the transform's analytic equilibrium
+        # moments, inverse-transform back. spec = ("mrt", M, Minv, taus,
+        # meq_kind) with matrices as nested tuples.
+        _, M_t, Minv_t, taus, meq_kind = spec
+        M = [list(row) for row in M_t]
+        Minv = [list(row) for row in Minv_t]
+        nq = len(M)
+
+        def matvec_row(mat, k, vals):
+            acc = None
+            for qi in range(nq):
+                c = mat[k][qi]
+                if c == 0.0:
+                    continue
+                term = vals(qi) if c == 1.0 else vals(qi) * c
+                acc = term if acc is None else acc + term
+            return acc
+
+        m = [matvec_row(M, k, read) for k in range(nq)]
+
+        # analytic equilibrium moments (lettuce_tpu.utils.moments formulas)
+        rho_m, jx = m[0], m[1]
+        if meq_kind == "lallemand":
+            jy = m[2]
+            j2 = jx * jx + jy * jy
+            meq = [rho_m, jx, jy,
+                   (1.0 / 3.0) * (jx * jx - jy * jy),
+                   (1.0 / 3.0) * (jx * jy),
+                   -2.0 * rho_m + 3.0 * j2,
+                   -jx, -jy,
+                   rho_m - 3.0 * j2]
+        elif meq_kind == "dellar":
+            jy = m[2]
+            inv_r = 1.0 / rho_m
+            meq = [rho_m, jx, jy,
+                   jx * jx * inv_r * 4.5,
+                   jx * jy * inv_r * 9.0,
+                   jy * jy * inv_r * 4.5,
+                   0.0, 0.0, 0.0]
+        else:
+            raise NotImplementedError(meq_kind)
+
+        relaxed = []
+        for k in range(nq):
+            s_inv = 1.0 / taus[k]
+            if isinstance(meq[k], float) and meq[k] == 0.0:
+                relaxed.append(m[k] - s_inv * m[k])
+            else:
+                relaxed.append(m[k] - s_inv * (m[k] - meq[k]))
+
+        post = {}
+
+        def fpost_mrt(qi):
+            if qi not in post:
+                post[qi] = matvec_row(Minv, qi, lambda k: relaxed[k])
+            return post[qi]
+        return fpost_mrt
 
     if kind == "kbc":
         tau = spec[1]
@@ -801,7 +826,7 @@ def gate_fused_params(simulation: "Simulation") -> dict:
     """
     from ..collision import (BGKCollision, NoCollision, TRTCollision,
                              RegularizedCollision, SmagorinskyCollision,
-                             KBCCollision)
+                             KBCCollision, MRTCollision)
     from ..equilibrium import QuadraticEquilibrium
     from ..boundary import BounceBackBoundary, EquilibriumBoundaryPU
 
@@ -842,6 +867,9 @@ def gate_fused_params(simulation: "Simulation") -> dict:
                           float(collision.constant))
     elif isinstance(collision, RegularizedCollision):
         collision_spec = ("reg", _tau_or_units(collision.tau))
+    elif isinstance(collision, MRTCollision):
+        from ..utils_moments_shim import resolve_mrt_spec
+        collision_spec = resolve_mrt_spec(collision)
     elif isinstance(collision, KBCCollision):
         from ..collision import KBCCollision as _KBC
         from ...stencil import D2Q9 as _D2Q9, D3Q27 as _D3Q27
@@ -890,6 +918,9 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     state g = f - w_q (see fused_stream_collide).
     """
     params = gate_fused_params(simulation)
+    if dev_storage and params["collision_spec"][0] == "mrt":
+        raise NotImplementedError("MRT fragment is not shift-invariant; "
+                                  "half storage unsupported")
 
     ncm = simulation.no_collision_mask
     nsm = simulation.no_streaming_mask

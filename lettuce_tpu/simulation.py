@@ -120,7 +120,12 @@ class Simulation:
                               "path; running at full storage precision.")
             else:
                 from .ops.pallas import build_fused_step
-                self._step_dev = build_fused_step(self, dev_storage=True)
+                try:
+                    self._step_dev = build_fused_step(self,
+                                                      dev_storage=True)
+                except NotImplementedError:
+                    warnings.warn("collision does not support deviation "
+                                  "storage; running at full precision.")
                 self._w_dev = self.context.convert_to_tensor(
                     np.asarray(flow.stencil.w).reshape(
                         (-1,) + (1,) * flow.stencil.d))

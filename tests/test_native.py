@@ -141,10 +141,14 @@ def test_native_fallback_on_unsupported():
     warning print (reference behaviour, _simulation.py:100-115)."""
     flow = lt.TaylorGreenVortex(_ctx(True), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
-    transform = lt.D2Q9Lallemand(flow.stencil, flow.context)
+    # the base identity Transform has no kernel fragment
+    transform = lt.Transform(flow.stencil, flow.context)
     sim = lt.Simulation(flow, lt.MRTCollision(transform, [1.1] * 9), [])
     assert sim._step_kind == "jnp"
-    sim(1)  # still runs
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sim(1)  # still runs
 
 
 def test_half_storage_mode():
@@ -199,5 +203,28 @@ def test_native_collision_fragments(collision_factory, stencil_cls, res):
         if native:
             assert sim._step_kind == "pallas", "fragment did not engage"
         sim(3)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
+
+
+@pytest.mark.parametrize("tr_cls", ["D2Q9Lallemand", "D2Q9Dellar"])
+def test_native_mrt_fragment(tr_cls):
+    """MRT kernel fragment (static sparse-matrix transform + analytic
+    equilibrium moments) matches the jnp MRT."""
+    import warnings
+    outs = {}
+    for native in (False, True):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        flow = lt.TaylorGreenVortex(ctx, [16, 128], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+        transform = getattr(lt, tr_cls)(flow.stencil, ctx)
+        taus = [1.0, 1.0, 1.0, 1.3, 1.3, 1.2, 1.1, 1.1, 1.2]
+        sim = lt.Simulation(flow, lt.MRTCollision(transform, taus, ctx), [])
+        if native:
+            assert sim._step_kind == "pallas"
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sim(3)
         outs[native] = np.asarray(flow.f)
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
