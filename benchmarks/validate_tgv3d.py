@@ -1,0 +1,96 @@
+"""Physics validation: 3D Taylor-Green vortex at Re=1600, 256^3.
+
+The canonical DNS benchmark (Brachet et al. 1983; van Rees et al. 2011):
+kinetic energy decays slowly until vortex sheets roll up, and the
+dissipation rate -dE/dt peaks near t* ~ 9 with eps_max ~ 0.012 (spectral
+reference). A correct LBM solver at 256^3 / Ma 0.05 reproduces the peak
+location within a few percent and the value within ~10%.
+
+Writes benchmarks/tgv3d_validation.json with the E(t) curve, the measured
+peak, and the run's MLUPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(resolution=256, t_end=12.0, interval_t=0.05):
+    import lettuce_tpu as lt
+
+    context = lt.Context(dtype=jnp.float32, use_native=True)
+    # The flow's unit system uses characteristic_length_pu = 2*pi (the full
+    # domain), so nu = 2*pi / Re. The standard TGV benchmark defines
+    # Re = 1/nu (L = 1, u0 = 1): pass Re * 2*pi to hit nu = 1/1600.
+    flow = lt.TaylorGreenVortex(context, resolution,
+                                reynolds_number=1600 * 2 * np.pi,
+                                mach_number=0.05, stencil=lt.D3Q19())
+    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+    simulation = lt.Simulation(flow, collision, [])
+
+    dt = flow.units.convert_time_to_pu(1)
+    interval = max(1, int(round(interval_t / dt)))
+    num_steps = int(round(t_end / dt))
+    print(f"dt_pu={dt:.3e}, steps={num_steps}, record every {interval}",
+          flush=True)
+
+    energy = lt.IncompressibleKineticEnergy(flow)
+    import time
+    t0 = time.perf_counter()
+    # segment the run into ~30 s dispatches (very long single dispatches
+    # can trip the remote worker's watchdog)
+    seg_records = max(1, 2000 // interval)
+    seg_steps = seg_records * interval
+    chunks = []
+    done = 0
+    while done < num_steps:
+        n = min(seg_steps, (num_steps - done) // interval * interval)
+        if n == 0:
+            break
+        chunks.append(np.asarray(jax.device_get(
+            simulation.rollout(n, observables=[energy],
+                               interval=interval)), dtype=np.float64))
+        done += n
+        print(f"  t={done * dt:.2f}", flush=True)
+    records = np.concatenate(chunks, axis=0)
+    num_steps = done
+    elapsed = time.perf_counter() - t0
+    mlups = num_steps * resolution ** 3 / 1e6 / elapsed
+
+    # volume-averaged kinetic energy (domain volume (2 pi)^3)
+    vol = (2 * np.pi) ** flow.stencil.d
+    E = records[:, 0] / vol
+    t = (np.arange(1, len(E) + 1)) * interval * dt
+    eps = -np.gradient(E, t)
+    i_peak = int(np.argmax(eps))
+    result = {
+        "resolution": resolution,
+        "reynolds": 1600,
+        "mach": 0.05,
+        "mlups": round(mlups, 1),
+        "t_peak": round(float(t[i_peak]), 3),
+        "eps_peak": round(float(eps[i_peak]), 5),
+        "reference": {"t_peak": "~9.0", "eps_peak": "~0.0117 (spectral)"},
+        "t": [round(float(x), 4) for x in t],
+        "E": [round(float(x), 6) for x in E],
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tgv3d_validation.json")
+    with open(out, "w") as fh:
+        json.dump(result, fh)
+    print(f"peak dissipation {result['eps_peak']} at t={result['t_peak']} "
+          f"(spectral reference ~0.0117 at t~9.0); {mlups:.0f} MLUPS",
+          flush=True)
+
+
+if __name__ == "__main__":
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(resolution=res)
