@@ -575,6 +575,7 @@ def _stream_collide_kernel(
         boundary_kinds: Tuple[Tuple[str, int], ...],
         feq_boundary: Optional[tuple], yhalo: int = YHALO,
         collision_spec: Optional[tuple] = None,
+        has_feq_field: bool = False,
         dev_storage: bool = False, debug_mode: str = "full"):
     """Kernel body (2D: by is None). With ``dev_storage`` the state is the
     deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
@@ -590,6 +591,10 @@ def _stream_collide_kernel(
     if has_ncm:
         ncm_parts = refs[idx:idx + n_parts]
         idx += n_parts
+    feq_parts = None
+    if has_feq_field:
+        feq_parts = refs[idx:idx + n_parts]
+        idx += n_parts
     nsm_block = None
     if has_nsm:
         nsm_block = refs[idx]
@@ -598,7 +603,12 @@ def _stream_collide_kernel(
     idx += 1
     slab = refs[idx]
     idx += 1
-    ncm_slab_ref = refs[idx] if has_ncm else None
+    if has_ncm:
+        ncm_slab_ref = refs[idx]
+        idx += 1
+    else:
+        ncm_slab_ref = None
+    feq_slab_ref = refs[idx] if has_feq_field else None
 
     # ------------------------------------------------------------------
     # assemble the slab scratch, then compute from it (populations read
@@ -610,8 +620,17 @@ def _stream_collide_kernel(
     if has_ncm:
         _store_parts(ncm_parts, ncm_slab_ref, is3d, bx,
                      by * S if is3d else None, yhalo=yhalo)
+    if has_feq_field:
+        _store_parts(feq_parts, feq_slab_ref, is3d, bx,
+                     by * S if is3d else None, yhalo=yhalo)
 
     compute_dtype = jnp.float32 if slab.dtype == jnp.bfloat16 else slab.dtype
+
+    def read_feq_field(qi):
+        v = feq_slab_ref[qi]
+        if v.dtype != compute_dtype:
+            v = v.astype(compute_dtype)
+        return v
 
     def read(qi):
         fi = slab[qi]
@@ -677,6 +696,8 @@ def _stream_collide_kernel(
                     val = val - float(w[qi])
                 fpost = jnp.where(ncm == index, jnp.full_like(fpost, val),
                                   fpost)
+            elif kind == "equilibrium_pu_field":
+                fpost = jnp.where(ncm == index, read_feq_field(qi), fpost)
 
         # minor-axis shift first (only interior +- S rows are consumed)
         ez = int(e[qi, d - 1])
@@ -710,6 +731,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          block_target_2d: int = 128,
                          vmem_limit_mb: Optional[int] = None,
                          collision_spec: Optional[tuple] = None,
+                         feq_field: Optional[jax.Array] = None,
                          dev_storage: bool = False,
                          debug_mode: str = "full",
                          interpret: bool = False) -> jax.Array:
@@ -765,6 +787,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
 
     has_ncm = no_collision_mask is not None
     has_nsm = no_streaming_mask is not None
+    has_feq_field = feq_field is not None
 
     f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q, yhalo=yhalo)
     in_specs = list(f_specs)
@@ -776,6 +799,16 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         ncm_packed = no_collision_mask.astype(jnp.int32).reshape(
             merged_shape[1:])
         inputs += [ncm_packed] * len(ncm_specs)
+    if has_feq_field:
+        if dev_storage:
+            w_b = jnp.asarray(w, jnp.float32).reshape(
+                (-1,) + (1,) * d)
+            feq_field = feq_field - w_b
+        feq_packed = feq_field.astype(f.dtype).reshape(merged_shape)
+        feq_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q,
+                                yhalo=yhalo)
+        in_specs += list(feq_specs)
+        inputs += [feq_packed] * len(feq_specs)
     if has_nsm:
         in_specs.append(pl.BlockSpec(out_block, out_index,
                                      memory_space=pltpu.VMEM))
@@ -789,6 +822,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         boundary_kinds=tuple(boundary_kinds),
         feq_boundary=feq_boundary, yhalo=yhalo,
         collision_spec=collision_spec,
+        has_feq_field=has_feq_field,
         dev_storage=dev_storage, debug_mode=debug_mode)
 
     compiler_params = None
@@ -800,6 +834,8 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     scratch = [pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype)]
     if has_ncm:
         scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
+    if has_feq_field:
+        scratch.append(pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -881,19 +917,32 @@ def gate_fused_params(simulation: "Simulation") -> dict:
 
     boundary_kinds: List[Tuple[str, int]] = []
     feq_b = []
+    feq_field = None
     for index, boundary in enumerate(simulation.boundaries[1:], start=1):
         if isinstance(boundary, BounceBackBoundary):
             boundary_kinds.append(("bounce_back", index))
             feq_b.append(None)
         elif isinstance(boundary, EquilibriumBoundaryPU):
-            if boundary.velocity.ndim > 1:
-                raise NotImplementedError("per-node boundary velocity")
             rho = flow.units.convert_pressure_pu_to_density_lu(
                 boundary.pressure)
             u = flow.units.convert_velocity_to_lu(boundary.velocity)
             feq = flow.equilibrium(flow, rho=jnp.asarray(rho), u=u)
-            feq_b.append(tuple(float(v) for v in np.asarray(feq)))
-            boundary_kinds.append(("equilibrium_pu", index))
+            if boundary.velocity.ndim > 1 or np.asarray(rho).ndim > 0:
+                # per-node values: contribute to the combined feq field
+                # (the reference's broadcast-aware native path,
+                # cuda_native/ext/_boundary/equilibrium_pu.py)
+                full = jnp.broadcast_to(
+                    feq.reshape(feq.shape + (1,) * (flow.f.ndim - feq.ndim)),
+                    flow.f.shape)
+                if feq_field is None:
+                    feq_field = jnp.zeros_like(flow.f)
+                feq_field = jnp.where(
+                    simulation.no_collision_mask == index, full, feq_field)
+                feq_b.append(None)
+                boundary_kinds.append(("equilibrium_pu_field", index))
+            else:
+                feq_b.append(tuple(float(v) for v in np.asarray(feq)))
+                boundary_kinds.append(("equilibrium_pu", index))
         else:
             raise NotImplementedError(type(boundary).__name__)
 
@@ -907,6 +956,7 @@ def gate_fused_params(simulation: "Simulation") -> dict:
                 collision_spec=collision_spec,
                 boundary_kinds=tuple(boundary_kinds),
                 feq_boundary=tuple(feq_b),
+                feq_field=feq_field,
                 vmem_limit_mb=64 if not interpret else None,
                 interpret=interpret)
 

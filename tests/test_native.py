@@ -228,3 +228,25 @@ def test_native_mrt_fragment(tr_cls):
             sim(3)
         outs[native] = np.asarray(flow.f)
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
+
+
+def test_native_equilibrium_bc_per_node():
+    """Per-node velocity/pressure equilibrium boundary runs in-kernel via
+    the combined feq field (the reference's broadcast-aware native path)."""
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+    rng = np.random.RandomState(1)
+    vel = rng.rand(2, 16, 128) * 0.05
+
+    outs = {}
+    for native in (False, True):
+        ctx = _ctx(native)
+        flow = TestFlow(ctx, resolution=[16, 128], stencil=lt.D2Q9(),
+                        boundaries=[lt.EquilibriumBoundaryPU(
+                            ctx, mask, vel, 0.001)])
+        sim = lt.Simulation(flow, lt.BGKCollision(0.85), [])
+        if native:
+            assert sim._step_kind == "pallas"
+        sim(4)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
