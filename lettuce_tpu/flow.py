@@ -42,11 +42,6 @@ class Equilibrium(ABC):
         """True if this equilibrium can run inside the fused Pallas kernel."""
         return False
 
-    def native_fragment(self):
-        """Return a pure function ``(stencil, rho, u) -> feq`` traceable
-        inside a Pallas kernel. The Pallas analog of the reference's
-        ``NativeEquilibrium`` CUDA emitters."""
-        raise NotImplementedError
 
 
 class Boundary(ABC):
@@ -75,8 +70,6 @@ class Boundary(ABC):
     def native_available(self) -> bool:
         return False
 
-    def native_fragment(self, index: int):
-        raise NotImplementedError
 
 
 class Flow(ABC):

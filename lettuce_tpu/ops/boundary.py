@@ -46,14 +46,6 @@ class BounceBackBoundary(Boundary):
     def native_available(self) -> bool:
         return True
 
-    def native_fragment(self, index: int):
-        def fragment(st, f_post, f_pre, mask):
-            # bounce back uses PRE-collision populations, mirroring the
-            # reference pipeline where boundaries see the original f on
-            # their own nodes (no_collision_mask keeps collision off them)
-            return jnp.where(mask == index, f_pre[np.asarray(st.opposite)],
-                             f_post)
-        return fragment
 
 
 class EquilibriumBoundaryPU(Boundary):
@@ -92,10 +84,6 @@ class EquilibriumBoundaryPU(Boundary):
     def native_available(self) -> bool:
         return True
 
-    def native_fragment(self, index: int):
-        def fragment(st, f_post, f_pre, mask, feq_b):
-            return jnp.where(mask == index, feq_b, f_post)
-        return fragment
 
 
 class AntiBounceBackOutlet(Boundary):

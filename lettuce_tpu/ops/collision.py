@@ -37,10 +37,6 @@ class Collision(ABC):
         """True if this op can run inside the fused Pallas kernel."""
         return False
 
-    def native_fragment(self):
-        """Pure function ``(stencil_tables, f, rho, u, feq) -> f_post``
-        traceable inside a Pallas kernel."""
-        raise NotImplementedError
 
     def name(self) -> AnyStr:
         return self.__class__.__name__
@@ -74,12 +70,6 @@ class BGKCollision(Collision):
     def native_available(self) -> bool:
         return self.force is None
 
-    def native_fragment(self):
-        tau_inv = 1.0 / self.tau
-
-        def fragment(st, f, rho, u, feq):
-            return bgk_relax(f, feq, tau_inv)
-        return fragment
 
 
 class NoCollision(Collision):
@@ -92,10 +82,6 @@ class NoCollision(Collision):
     def native_available(self) -> bool:
         return True
 
-    def native_fragment(self):
-        def fragment(st, f, rho, u, feq):
-            return f
-        return fragment
 
 
 class TRTCollision(Collision):

@@ -59,8 +59,6 @@ class QuadraticEquilibrium(Equilibrium):
     def native_available(self) -> bool:
         return True
 
-    def native_fragment(self):
-        return quadratic_feq
 
 
 class QuadraticEquilibriumLessMemory(QuadraticEquilibrium):
