@@ -152,8 +152,31 @@ class DomainDecomposition:
             x, NamedSharding(self.mesh, self.grid_spec(x.ndim)))
 
     # ------------------------------------------------------------------
+    def make_dev_codec(self, flow: "Flow"):
+        """shard_mapped encode/decode between f and bf16 deviation state
+        (constants must live inside shard_map to stay per-shard)."""
+        from ._shard_map_compat import shard_map
+
+        d = flow.stencil.d
+        fspec = self.f_spec(d)
+        w_np = np.asarray(flow.stencil.w).reshape((-1,) + (1,) * d)
+
+        def enc_local(f):
+            return (f - jnp.asarray(w_np, f.dtype)).astype(jnp.bfloat16)
+
+        def dec_local(g):
+            return g.astype(jnp.float32) + jnp.asarray(w_np, jnp.float32)
+
+        encode = shard_map(enc_local, mesh=self.mesh, in_specs=(fspec,),
+                           out_specs=fspec)
+        decode = shard_map(dec_local, mesh=self.mesh, in_specs=(fspec,),
+                           out_specs=fspec)
+        return encode, decode
+
+    # ------------------------------------------------------------------
     def _native_local_step(self, simulation: "Simulation", params: dict,
-                           axis_name: str, n_shards: int):
+                           axis_name: str, n_shards: int,
+                           dev: bool = False):
         """Per-shard fused-Pallas step with halo fix-up.
 
         The fused kernel runs on the local shard with *locally periodic*
@@ -187,18 +210,28 @@ class DomainDecomposition:
                     fp = jnp.where(ncm_l == i, b(flow.view(fp)), fp)
             return fp
 
+        if dev:
+            w_b = jnp.asarray(np_.asarray(flow.stencil.w),
+                              jnp.float32).reshape((-1,) + (1,) * d)
+
         def step(f, ncm_l, nsm_l):
             from ..ops.pallas.stream_collide import fused_stream_collide
             out = fused_stream_collide(
                 f, no_collision_mask=ncm_l, no_streaming_mask=nsm_l,
-                **params)
+                dev_storage=dev, **params)
 
-            # post-collision edge planes of THIS shard
+            # post-collision edge planes of THIS shard (collision runs in
+            # f-space; deviation storage decodes/encodes the tiny planes)
             last = f.shape[1] - 1
             ncm_first = None if ncm_l is None else ncm_l[:1]
             ncm_last = None if ncm_l is None else ncm_l[last:]
-            fp_first = collide_local(f[:, :1], ncm_first)
-            fp_last = collide_local(f[:, last:], ncm_last)
+            if dev:
+                dec = lambda p: p.astype(jnp.float32) + w_b
+                enc = lambda p: (p - w_b).astype(f.dtype)
+            else:
+                dec = enc = lambda p: p
+            fp_first = enc(collide_local(dec(f[:, :1]), ncm_first))
+            fp_last = enc(collide_local(dec(f[:, last:]), ncm_last))
 
             # exchange: my last plane -> right neighbour; first -> left
             recv_left = jax.lax.ppermute(fp_last, axis_name, fwd)
@@ -226,7 +259,7 @@ class DomainDecomposition:
 
         return step
 
-    def shard_step(self, simulation: "Simulation"):
+    def shard_step(self, simulation: "Simulation", dev: bool = False):
         """Build the shard_mapped collide-and-stream step for a Simulation.
 
         Collision, equilibria and the mask-coded boundary composition are
@@ -268,11 +301,17 @@ class DomainDecomposition:
             try:
                 from ..ops.pallas.stream_collide import gate_fused_params
                 params = gate_fused_params(simulation)
+                if dev and (params["collision_spec"][0] == "mrt"
+                            or params.get("feq_field") is not None):
+                    raise NotImplementedError
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
-                    self.mesh_shape[0])
+                    self.mesh_shape[0], dev=dev)
             except NotImplementedError:
                 native_step = None
+        if dev and native_step is None:
+            raise NotImplementedError(
+                "deviation storage requires the fused kernel path")
 
         def local_step(f, ncm_in, nsm_in):
             ncm_l = ncm_in if has_ncm else None

@@ -115,20 +115,28 @@ class Simulation:
         # stays f32)
         self._step_dev = None
         if half_storage:
-            if self._step_kind != "pallas":
-                warnings.warn("half_storage requires the fused Pallas step "
-                              "path; running at full storage precision.")
-            else:
-                from .ops.pallas import build_fused_step
-                try:
+            try:
+                if self._step_kind == "pallas":
+                    from .ops.pallas import build_fused_step
                     self._step_dev = build_fused_step(self,
                                                       dev_storage=True)
-                except NotImplementedError:
-                    warnings.warn("collision does not support deviation "
-                                  "storage; running at full precision.")
-                self._w_dev = self.context.convert_to_tensor(
-                    np.asarray(flow.stencil.w).reshape(
-                        (-1,) + (1,) * flow.stencil.d))
+                elif self._step_kind == "sharded":
+                    self._step_dev = self.decomposition.shard_step(
+                        self, dev=True)
+                else:
+                    raise NotImplementedError
+            except NotImplementedError:
+                warnings.warn("half_storage requires a fused-Pallas-capable "
+                              "configuration; running at full precision.")
+            if self._step_dev is not None:
+                self._w_dev = np.asarray(flow.stencil.w).reshape(
+                    (-1,) + (1,) * flow.stencil.d)
+                self._dev_codec = None
+                if self._step_kind == "sharded":
+                    # encode/decode must run inside shard_map so the w
+                    # constant stays per-shard
+                    self._dev_codec = self.decomposition.make_dev_codec(
+                        self.flow)
 
         self._compiled_run = jax.jit(self._run_steps, donate_argnums=0)
 
@@ -208,9 +216,15 @@ class Simulation:
 
     def _run_steps(self, f: jax.Array, n) -> jax.Array:
         if self._step_dev is not None:
-            g = (f - self._w_dev).astype(jnp.bfloat16)
+            if self._dev_codec is not None:
+                encode, decode = self._dev_codec
+            else:
+                w_b = jnp.asarray(self._w_dev, f.dtype)
+                encode = lambda x: (x - w_b).astype(jnp.bfloat16)
+                decode = lambda g: g.astype(jnp.float32) + w_b
+            g = encode(f)
             g = self._loop(self._step_dev, g, n)
-            return g.astype(f.dtype) + self._w_dev
+            return decode(g)
         return self._loop(self._step, f, n)
 
     # ------------------------------------------------------------------
