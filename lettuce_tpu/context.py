@@ -13,7 +13,7 @@ module cache (``cuda_native/_generator.py:213-264``).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .flow import Boundary, Flow
+from .flow import Flow
 from .ops.collision import Collision
 from .ops.streaming import stream
 
