@@ -28,7 +28,8 @@ from .models import *  # noqa: F401,F403
 from .reporters import (Observable, MaximumVelocity,
                         IncompressibleKineticEnergy, Enstrophy,
                         EnergySpectrum, Mass, ObservableReporter,
-                        ErrorReporter, VTKReporter, write_image)
+                        ErrorReporter, VTKReporter, write_image,
+                        mean_analytic_error)
 from .parallel import DomainDecomposition
 from .utils.datautils import HDF5Reporter, LettuceDataset
 from .utils import (get_subclasses, LettuceException, LettuceWarning,

@@ -24,8 +24,10 @@ import lettuce_tpu as lt
               help="Run on TPU if available; no-tpu forces CPU.")
 @click.option("-p", "--precision",
               type=click.Choice(["half", "single", "double"]),
-              default="single",
-              help="bfloat16, float32 or float64 precision.")
+              default="double",
+              help="bfloat16, float32 or float64 precision (default double, "
+                   "as the reference CLI; use single/half for TPU "
+                   "throughput).")
 @click.option("--use-native/--use-no-native", default=True,
               help="Use the fused Pallas stream-collide kernel.")
 # reference-compatible aliases
@@ -108,38 +110,54 @@ def benchmark(context, steps, resolution, flow_name, vtk_out, profile_out):
 
 
 @main.command()
-@click.option("--max-resolution-exponent", type=int, default=7)
+@click.option("--max-resolution-exponent", type=int, default=8)
 @click.pass_obj
 def convergence(context, max_resolution_exponent):
-    """TGV2D diffusive-scaling order check; exits 1 when the measured
-    orders leave [u: 2 +- 0.3, p: > 0.5]."""
-    errors = []
-    resolutions = [2 ** e for e in range(4, max_resolution_exponent + 1)]
-    click.echo("resolution  error_u        error_p")
-    for resolution in resolutions:
-        mach = 8 / resolution
-        flow = lt.TaylorGreenVortex(context, resolution,
+    """TGV2D diffusive-scaling order check at the reference's protocol
+    (``/root/reference/lettuce/cli.py:129-180``): per-step errors at
+    interval=1 averaged over the run, resolutions 2^4..2^8, gate on the
+    final refinement factor — u order in [1.9, 2.1], p order in [0.9, 1.1].
+    Exits 1 on failure.
+
+    TPU-first: the per-step error sequence is computed on device in one
+    ``lax.scan`` (``mean_analytic_error``) instead of 10*resolution host
+    callbacks.
+    """
+    from timeit import default_timer as timer
+
+    error_u_old = error_p_old = None
+    factor_u = factor_p = 0.0
+    click.echo(("{:>15} " * 6).format("resolution", "error (u)", "order (u)",
+                                      "error (p)", "order (p)", "MLUPS"))
+    for e in range(4, max_resolution_exponent + 1):
+        resolution = 2 ** e
+        mach_number = 8 / resolution
+        flow = lt.TaylorGreenVortex(context, [resolution] * 2,
                                     reynolds_number=10000,
-                                    mach_number=mach, stencil=lt.D2Q9(),
-                                    initialize_fneq=False)
-        out = []
-        reporter = lt.ErrorReporter(flow.analytic_solution,
-                                    interval=10 * resolution, out=out)
+                                    mach_number=mach_number,
+                                    stencil=lt.D2Q9())
         simulation = lt.Simulation(
             flow, lt.BGKCollision(tau=flow.units.relaxation_parameter_lu),
-            [reporter])
-        simulation(10 * resolution)
-        err_u, err_p = out[-1]
-        errors.append((err_u, err_p))
-        click.echo(f"{resolution:10d}  {err_u:.6e}  {err_p:.6e}")
+            [])
+        num_steps = 10 * resolution
+        beg = timer()
+        error_u, error_p = lt.mean_analytic_error(simulation, num_steps)
+        mlups = num_steps * resolution ** 2 / 1e6 / (timer() - beg)
 
-    errors = np.asarray(errors)
-    orders_u = np.log2(errors[:-1, 0] / errors[1:, 0])
-    orders_p = np.log2(errors[:-1, 1] / errors[1:, 1])
-    order_u, order_p = orders_u.mean(), orders_p.mean()
-    click.echo(f"order(u) = {order_u:.3f}   order(p) = {order_p:.3f}")
-    if abs(order_u - 2.0) > 0.3 or order_p < 0.5:
-        click.echo("Convergence order failed.")
+        factor_u = 0 if error_u_old is None else error_u_old / error_u
+        factor_p = 0 if error_p_old is None else error_p_old / error_p
+        error_u_old, error_p_old = error_u, error_p
+        click.echo(f"{resolution:15} {error_u:15.2e} {factor_u / 2:15.2f} "
+                   f"{error_p:15.2e} {factor_p / 2:15.2f} {mlups:15.2f}")
+
+    tol = 1e-1
+    if not (2 - tol) < factor_u / 2 < (2 + tol):
+        click.echo(f"FAILED: Velocity convergence order {factor_u / 2} is "
+                   f"not in [1.9, 2.1].")
+        sys.exit(1)
+    if not (1 - tol) < factor_p / 2 < (1 + tol):
+        click.echo(f"FAILED: Pressure convergence order {factor_p / 2} is "
+                   f"not in [0.9, 1.1].")
         sys.exit(1)
 
 

@@ -66,7 +66,8 @@ class TaylorGreenVortex(ExtFlow):
         return self.analytic_solution(t=0)
 
     def analytic_solution(self, t: float = 0):
-        if t > 0 and self.stencil.d > 2:
+        # traceable in t (2D): the guard must not branch on a traced value
+        if self.stencil.d > 2 and not isinstance(t, jnp.ndarray) and t > 0:
             warnings.warn("The analytic solution is only true for the "
                           "2D TGV!")
         grid = self.grid

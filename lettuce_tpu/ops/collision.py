@@ -68,7 +68,7 @@ class BGKCollision(Collision):
         return self.__class__.__name__
 
     def native_available(self) -> bool:
-        return self.force is None
+        return self.force is None or self.force.native_available()
 
 
 

@@ -33,7 +33,13 @@ class Force(ABC):
         ...
 
     def native_available(self) -> bool:
-        return False
+        """True when this force can run inside the fused Pallas kernel:
+        uniform (per-axis constant) acceleration only. The reference's
+        native path supports no forcing at all
+        (``cuda_native/ext/_force/_force.py``)."""
+        import numpy as np
+        accel = getattr(self, "acceleration", None)
+        return accel is not None and np.asarray(accel).ndim == 1
 
 
 class Guo(Force):

@@ -207,8 +207,10 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
     KBC's feq division, which reconstructs true values with one constant
     add.
 
-    Specs: ("none",) | ("bgk", tau_inv) | ("trt", tau_plus, tau_minus) |
-    ("reg", tau) | ("smag", tau, C) | ("kbc", tau).
+    Specs: ("none",) | ("bgk", tau_inv) |
+    ("bgk_force", tau_inv, accel, k_ueq, src_pref) |
+    ("trt", tau_plus, tau_minus) | ("reg", tau) | ("smag", tau, C) |
+    ("kbc", tau).
     """
     q = e.shape[0]
     cs2 = cs * cs
@@ -261,6 +263,72 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                 feq_t = float(w[qi]) * (base + trho * eu + quad)
             return keep * fi + feq_t
         return fpost_bgk
+
+    if kind == "bgk_force":
+        # BGK with a uniform-acceleration forcing scheme (Guo / Shan-Chen):
+        # velocity shift u_f = u + k a / rho applied inside feq, plus (Guo)
+        # the pointwise source S_i — all per-node algebra, so it fits the
+        # fragment protocol. The reference's native path has no forcing at
+        # all (cuda_native/ext/_force/_force.py).
+        _, tau_inv, accel, k_ueq, src_pref = spec
+        keep = 1.0 - tau_inv
+        inv_rho = 1.0 / rho
+        uf = [uc + (k_ueq * float(ac)) * inv_rho
+              for uc, ac in zip(u, accel)]
+        u2f = None
+        for uc in uf:
+            u2f = uc * uc if u2f is None else u2f + uc * uc
+        upf = [uc * (1.0 / cs2) for uc in uf]
+
+        def euf_of(qi):
+            acc = None
+            for comp, uc in zip(e[qi], upf):
+                if comp == 0:
+                    continue
+                term = uc if comp == 1 else -uc
+                acc = term if acc is None else acc + term
+            return acc
+
+        base = tau_inv * (rho - rho * (u2f * (0.5 / cs2)))
+        if dev_storage:
+            base = base - tau_inv
+        trho = tau_inv * rho
+        quad_cache = {}
+
+        ua = None  # u_f . a
+        if src_pref is not None:
+            for uc, ac in zip(uf, accel):
+                if float(ac) == 0.0:
+                    continue
+                term = uc * float(ac)
+                ua = term if ua is None else ua + term
+            if ua is None:
+                ua = 0.0
+
+        def fpost_bgk_force(qi):
+            fi = read(qi)
+            eu = euf_of(qi)
+            if eu is None:
+                feq_t = float(w[qi]) * base
+            else:
+                key = canonical(qi)
+                quad = quad_cache.get(key)
+                if quad is None:
+                    quad = trho * (eu * eu * 0.5)
+                    quad_cache[key] = quad
+                feq_t = float(w[qi]) * (base + trho * eu + quad)
+            out = keep * fi + feq_t
+            if src_pref is not None:
+                ea = 0.0
+                for comp, ac in zip(e[qi], accel):
+                    ea += float(comp) * float(ac)
+                coef = src_pref * float(w[qi]) / cs2
+                si = -coef * ua + coef * ea
+                if eu is not None and ea != 0.0:
+                    si = si + (coef * ea) * eu
+                out = out + si
+            return out
+        return fpost_bgk_force
 
     # raw (not tau-scaled) equilibrium shared by the remaining fragments
     base0 = rho - rho * (u2 * (0.5 / cs2))
@@ -887,10 +955,26 @@ def gate_fused_params(simulation: "Simulation") -> dict:
             else float(flow.units.relaxation_parameter_lu)
 
     if isinstance(collision, BGKCollision):
-        if collision.force is not None:
-            raise NotImplementedError
         tau_inv = float(1.0 / collision.tau)
-        collision_spec = ("bgk", tau_inv)
+        if collision.force is not None:
+            from ..force import Guo, ShanChen
+            force = collision.force
+            accel = np.asarray(force.acceleration)
+            if accel.ndim != 1:
+                raise NotImplementedError("per-node acceleration")
+            if isinstance(force, Guo):
+                k_ueq = float(force.ueq_scaling_factor)
+                src_pref = float(1.0 - 1.0 / (2.0 * force.tau))
+            elif isinstance(force, ShanChen):
+                k_ueq = float(force.ueq_scaling_factor)
+                src_pref = None
+            else:
+                raise NotImplementedError(type(force).__name__)
+            collision_spec = ("bgk_force", tau_inv,
+                              tuple(float(a) for a in accel), k_ueq,
+                              src_pref)
+        else:
+            collision_spec = ("bgk", tau_inv)
     elif isinstance(collision, NoCollision):
         collision_spec = ("none",)
     elif isinstance(collision, TRTCollision):
@@ -966,6 +1050,13 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
 
     With ``dev_storage`` the returned step operates on bfloat16 deviation
     state g = f - w_q (see fused_stream_collide).
+
+    The returned step is reverse-mode differentiable: ``pallas_call`` has
+    no autodiff rule, so a ``custom_vjp`` runs the kernel forward and pulls
+    the cotangent back through the mathematically identical jnp step
+    (matching the reference's differentiate-through-everything property,
+    ``/root/reference/README.rst:27``). The residual is the step input —
+    the same memory autodiff of the jnp path would save.
     """
     params = gate_fused_params(simulation)
     if dev_storage and params["collision_spec"][0] == "mrt":
@@ -977,9 +1068,28 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     if nsm is not None and not bool(np.any(np.asarray(nsm))):
         nsm = None
 
-    def step(f):
+    def fused(f):
         return fused_stream_collide(
             f, no_collision_mask=ncm, no_streaming_mask=nsm,
             dev_storage=dev_storage, **params)
 
+    if dev_storage:
+        # deviation storage is a throughput mode; gradients go through the
+        # full-precision path
+        return fused
+
+    jnp_step = simulation._build_jnp_step()
+
+    @jax.custom_vjp
+    def step(f):
+        return fused(f)
+
+    def step_fwd(f):
+        return fused(f), f
+
+    def step_bwd(f, ct):
+        _, vjp = jax.vjp(jnp_step, f)
+        return vjp(ct)
+
+    step.defvjp(step_fwd, step_bwd)
     return step

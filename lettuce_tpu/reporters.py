@@ -26,7 +26,8 @@ from .utils.utility import jax_gradient
 
 __all__ = ["Observable", "MaximumVelocity", "IncompressibleKineticEnergy",
            "Enstrophy", "EnergySpectrum", "Mass", "ObservableReporter",
-           "ErrorReporter", "VTKReporter", "write_image"]
+           "ErrorReporter", "VTKReporter", "write_image",
+           "mean_analytic_error"]
 
 
 class Observable(ABC):
@@ -190,6 +191,55 @@ class ErrorReporter(Reporter):
                 self.out.append([float(err_u), float(err_p)])
             else:
                 print(float(err_u), float(err_p), file=self.out)
+
+
+def mean_analytic_error(simulation, num_steps: int):
+    """Mean per-step L2 errors of (u, p) against the flow's analytic
+    solution over ``num_steps`` steps — ``ErrorReporter(interval=1)`` with
+    the whole run fused into one on-device ``lax.scan``.
+
+    This reproduces the reference's convergence-gate measurement
+    (``/root/reference/lettuce/cli.py:146-163``: per-step errors at
+    interval=1, mean of their absolute values including the initial state)
+    without ``num_steps`` host round-trips. Requires the flow's
+    ``analytic_solution`` to be jnp-traceable in ``t`` (TGV 2D is).
+
+    Returns ``(err_u, err_p)`` floats; the flow state advances as with a
+    normal call.
+    """
+    flow = simulation.flow
+    units = flow.units
+    d = flow.stencil.d
+    # reference norm: prod(p.shape)^(1/d) ** (d/2) == sqrt(prod(p.shape))
+    denom = float(np.sqrt(np.prod([1] + list(flow.resolution))))
+
+    def errs_at(f, i):
+        t = units.convert_time_to_pu(i)
+        pref, uref = flow.analytic_solution(t=t)
+        view = flow.view(f)
+        err_u = jnp.linalg.norm(view.u_pu - uref) / denom
+        err_p = jnp.linalg.norm(view.p_pu - pref) / denom
+        return jnp.stack([err_u, err_p])
+
+    step = simulation._step
+
+    def body(f, i):
+        f = step(f)
+        return f, errs_at(f, i)
+
+    i0 = int(flow.i)
+
+    @jax.jit
+    def run(f):
+        e0 = errs_at(f, jnp.asarray(i0, dtype=jnp.int32))
+        steps = i0 + 1 + jnp.arange(num_steps, dtype=jnp.int32)
+        f, errs = jax.lax.scan(body, f, steps)
+        return f, jnp.concatenate([e0[None, :], errs], axis=0)
+
+    flow.f, errs = run(flow.f)
+    flow.i += num_steps
+    err_u, err_p = np.abs(np.asarray(errs)).mean(axis=0).tolist()
+    return err_u, err_p
 
 
 class VTKReporter(Reporter):

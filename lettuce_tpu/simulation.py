@@ -193,7 +193,11 @@ class Simulation:
         try:
             from .ops.pallas import build_fused_step
             return build_fused_step(self)
-        except NotImplementedError:
+        except NotImplementedError as reason:
+            print(f"native was requested, but this configuration cannot run "
+                  f"the fused Pallas kernel"
+                  f"{f' ({reason})' if str(reason) else ''}; "
+                  f"falling back to the jnp path.")
             return None
 
     def _loop(self, step, x, n):

@@ -1,37 +1,46 @@
 """TGV2D grid-convergence order — the reference's CI acceptance gate
-(``lettuce convergence``, cli.py:128-180): under diffusive scaling the
-velocity error converges at order ~2 and pressure at order ~1."""
+(``lettuce convergence``, ``/root/reference/lettuce/cli.py:129-180``):
+under diffusive scaling the velocity error converges at order 2 and the
+pressure at order 1, measured as the mean of per-step errors at interval=1
+and gated on the final refinement factor (u in [1.9, 2.1], p in [0.9, 1.1]).
+"""
 
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 import lettuce_tpu as lt
 
 
-def _run_tgv_error(context, resolution):
+def _mean_errors(context, resolution):
     mach = 8 / resolution  # diffusive scaling, as the reference CLI
-    flow = lt.TaylorGreenVortex(context, resolution, reynolds_number=10000,
-                                mach_number=mach, stencil=lt.D2Q9(),
-                                initialize_fneq=False)
-    out = []
-    reporter = lt.ErrorReporter(flow.analytic_solution,
-                                interval=10 * resolution, out=out)
+    flow = lt.TaylorGreenVortex(context, [resolution] * 2,
+                                reynolds_number=10000, mach_number=mach,
+                                stencil=lt.D2Q9())
     simulation = lt.Simulation(
-        flow, lt.BGKCollision(tau=flow.units.relaxation_parameter_lu),
-        [reporter])
-    simulation(10 * resolution)
-    return np.asarray(out)[-1]  # [err_u, err_p]
+        flow, lt.BGKCollision(tau=flow.units.relaxation_parameter_lu), [])
+    return lt.mean_analytic_error(simulation, 10 * resolution)
+
+
+def _final_refinement_orders(context, resolutions):
+    errors = [_mean_errors(context, r) for r in resolutions]
+    order_u = errors[-2][0] / errors[-1][0] / 2
+    order_p = errors[-2][1] / errors[-1][1] / 2
+    return order_u, order_p
+
+
+def test_tgv2d_convergence_order():
+    """Reference gate tolerances at resolutions up to 2^6 (CI-sized)."""
+    context = lt.Context(dtype=jnp.float64)
+    order_u, order_p = _final_refinement_orders(context, (16, 32, 64))
+    assert 1.9 < order_u < 2.1, f"velocity order {order_u}"
+    assert 0.9 < order_p < 1.1, f"pressure order {order_p}"
 
 
 @pytest.mark.slow
-def test_tgv2d_convergence_order():
+def test_tgv2d_convergence_order_full():
+    """The full CLI gate ladder (2^4..2^8) at the reference tolerances."""
     context = lt.Context(dtype=jnp.float64)
-    errors = [_run_tgv_error(context, r) for r in (16, 32, 64)]
-    errors = np.asarray(errors)
-    orders_u = np.log2(errors[:-1, 0] / errors[1:, 0])
-    orders_p = np.log2(errors[:-1, 1] / errors[1:, 1])
-    order_u = orders_u.mean()
-    order_p = orders_p.mean()
-    assert abs(order_u - 2.0) < 0.3, f"velocity order {order_u}"
-    assert order_p > 0.5, f"pressure order {order_p}"
+    order_u, order_p = _final_refinement_orders(
+        context, (16, 32, 64, 128, 256))
+    assert 1.9 < order_u < 2.1, f"velocity order {order_u}"
+    assert 0.9 < order_p < 1.1, f"pressure order {order_p}"

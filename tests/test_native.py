@@ -188,7 +188,16 @@ def test_half_storage_mode():
     (lambda fl: lt.KBCCollision(), lt.D3Q27, [8, 8, 128]),
     (lambda fl: lt.KBCCollision(), lt.D2Q9, [16, 128]),
     (lambda fl: lt.TRTCollision(0.8, 1.1), lt.D2Q9, [16, 128]),
-], ids=["trt-3d", "reg-3d", "smag-3d", "kbc-q27", "kbc-q9", "trt-2d"])
+    (lambda fl: lt.BGKCollision(0.8, force=lt.Guo(fl, 0.8, [1e-4, 0.0])),
+     lt.D2Q9, [16, 128]),
+    (lambda fl: lt.BGKCollision(0.8, force=lt.ShanChen(fl, 0.8,
+                                                       [1e-4, 0.0])),
+     lt.D2Q9, [16, 128]),
+    (lambda fl: lt.BGKCollision(
+        0.8, force=lt.Guo(fl, 0.8, [1e-4, 0.0, 5e-5])),
+     lt.D3Q19, [16, 16, 128]),
+], ids=["trt-3d", "reg-3d", "smag-3d", "kbc-q27", "kbc-q9", "trt-2d",
+        "guo-2d", "shanchen-2d", "guo-3d"])
 def test_native_collision_fragments(collision_factory, stencil_cls, res):
     """Every collision kernel fragment matches its jnp implementation
     (the north-star requirement: collisions as composable Pallas kernel
@@ -250,3 +259,31 @@ def test_native_equilibrium_bc_per_node():
         sim(4)
         outs[native] = np.asarray(flow.f)
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
+
+
+def test_native_step_differentiable():
+    """jax.grad flows through the fused kernel (custom_vjp pulls the
+    cotangent back through the identical jnp step) and matches the
+    jnp-path gradient."""
+    import jax
+
+    grads = {}
+    for use_native in (False, True):
+        flow = lt.TaylorGreenVortex(_ctx(use_native), [16, 128], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [])
+        if use_native:
+            assert sim._step_kind == "pallas"
+
+        def loss(f, step=sim._step, view=flow.view):
+            for _ in range(3):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    assert np.all(np.isfinite(grads[True]))
+    assert float(np.abs(grads[True]).max()) > 0
+    np.testing.assert_allclose(grads[True], grads[False], atol=1e-5)
