@@ -22,7 +22,41 @@ import numpy as np
 from ..flow import Boundary, Flow
 
 __all__ = ["BounceBackBoundary", "EquilibriumBoundaryPU",
-           "AntiBounceBackOutlet", "EquilibriumOutletP"]
+           "AntiBounceBackOutlet", "EquilibriumOutletP",
+           "combined_equilibrium_field"]
+
+
+def combined_equilibrium_field(flow, boundaries, no_collision_mask):
+    """Combine every *per-node* EquilibriumBoundaryPU into one replacement
+    field selected by the index-coded mask.
+
+    Returns ``(feq_field, pernode_indices)`` where ``feq_field`` is a host
+    numpy array (None when no per-node boundary exists) — built on host
+    once so it composes with any device sharding the caller chooses. Used
+    by the fused Pallas kernel (as a blocked input) and by the sharded jnp
+    path (as a shard_map operand cut to local shards) — per-node velocity
+    fields are global-shaped, so they cannot be recomputed inside a local
+    shard.
+    """
+    feq_field = None
+    pernode = []
+    for index, boundary in enumerate(boundaries[1:], start=1):
+        if not isinstance(boundary, EquilibriumBoundaryPU):
+            continue
+        rho = flow.units.convert_pressure_pu_to_density_lu(boundary.pressure)
+        if boundary.velocity.ndim <= 1 and np.asarray(rho).ndim == 0:
+            continue  # uniform values stay compile-time constants
+        u = flow.units.convert_velocity_to_lu(boundary.velocity)
+        feq = np.asarray(flow.equilibrium(flow, rho=jnp.asarray(rho), u=u))
+        full = np.broadcast_to(
+            feq.reshape(feq.shape + (1,) * (flow.f.ndim - feq.ndim)),
+            flow.f.shape)
+        if feq_field is None:
+            feq_field = np.zeros(flow.f.shape, dtype=feq.dtype)
+        mask = np.asarray(no_collision_mask) == index
+        feq_field = np.where(mask, full, feq_field)
+        pernode.append(index)
+    return feq_field, tuple(pernode)
 
 
 class BounceBackBoundary(Boundary):
@@ -108,6 +142,9 @@ class AntiBounceBackOutlet(Boundary):
 
         self.stencil = flow.torch_stencil
         self.direction = list(direction)
+        # face axis and its sign: nonzero component of the direction
+        self.face_axis = int(np.flatnonzero(direction)[0])
+        self.face_sign = int(direction[self.face_axis])
 
         e = np.asarray(flow.stencil.e)
         # velocities pointing out of the domain through this face
@@ -128,27 +165,34 @@ class AntiBounceBackOutlet(Boundary):
                 self.neighbor.append(1)
 
         w = np.asarray(flow.stencil.w)[self.velocities]
-        # weights broadcast over the remaining face axes
+        # weights broadcast over every grid axis (pointwise formulation)
         self.w = jnp.asarray(
-            w.reshape((-1,) + (1,) * (len(direction) - 1)),
+            w.reshape((-1,) + (1,) * len(direction)),
             dtype=flow.context.dtype)
+
+    def _u_neighbor(self, u: jax.Array) -> jax.Array:
+        """Value of ``u`` at each node's inward neighbour along the face
+        axis, as a full-field roll. On the face plane this equals the old
+        global ``u[neighbor]`` slice; elsewhere the value is discarded by
+        the ``no_collision_mask`` composition. Rolls are shard-local, so
+        this form runs unchanged inside ``shard_map`` as long as the face
+        axis itself is not sharded."""
+        return jnp.roll(u, self.face_sign, axis=self.face_axis + 1)
 
     def __call__(self, flow: "Flow") -> jax.Array:
         u = flow.u()
-        face = tuple([slice(None)] + self.index)
-        nbr = tuple([slice(None)] + self.neighbor)
-        u_w = u[face] + 0.5 * (u[face] - u[nbr])  # [d, *face_res]
+        u_w = 1.5 * u - 0.5 * self._u_neighbor(u)  # extrapolated wall u
 
-        e_sel = self.stencil.e[self.velocities]   # [k, d]
-        eu = jnp.tensordot(e_sel, u_w, axes=1)    # [k, *face_res]
-        unorm2 = jnp.sum(u_w * u_w, axis=0)       # [*face_res]
+        e_sel = self.stencil.e[self.velocities]    # [k, d]
+        eu = jnp.tensordot(e_sel, u_w, axes=1)     # [k, *res]
+        unorm2 = jnp.sum(u_w * u_w, axis=0)        # [*res]
         cs = self.stencil.cs
-        rho_face = flow.rho()[face]               # [1?, *face_res] -> squeeze
-        replacement = (-flow.f[tuple([self.velocities] + self.index)]
-                       + self.w * rho_face
+        rho = flow.rho()                           # [1, *res]
+        replacement = (-flow.f[self.velocities]
+                       + self.w * rho
                        * (2 + eu ** 2 / cs ** 4 - unorm2 / cs ** 2))
         opposite = np.asarray(flow.stencil.opposite)[self.velocities]
-        return flow.f.at[tuple([opposite] + self.index)].set(replacement)
+        return flow.f.at[opposite].set(replacement)
 
     def make_no_streaming_mask(self, f_shape, context: "Context"):
         mask = np.zeros(tuple(f_shape), dtype=bool)
@@ -177,15 +221,11 @@ class EquilibriumOutletP(AntiBounceBackOutlet):
         self.rho_outlet = flow.context.convert_to_tensor(rho_outlet)
 
     def __call__(self, flow: "Flow") -> jax.Array:
-        face = tuple([slice(None)] + self.index)
-        nbr = tuple([slice(None)] + self.neighbor)
         rho = flow.rho()
         u = flow.u()
-        rho_w = self.rho_outlet * jnp.ones_like(rho[face])
-        u_w = u[nbr]
-        feq_face = flow.equilibrium(flow, rho_w[..., None], u_w[..., None]
-                                    )[..., 0]
-        return flow.f.at[face].set(feq_face)
+        rho_w = self.rho_outlet * jnp.ones_like(rho)
+        u_w = self._u_neighbor(u)  # pointwise: neighbour's velocity
+        return flow.equilibrium(flow, rho_w, u_w)
 
     def make_no_streaming_mask(self, shape: List[int], context: "Context"
                                ) -> Optional[jax.Array]:

@@ -66,6 +66,50 @@ def _pick_block(extent: int, target: int, multiple: int = 1) -> int:
     return best
 
 
+def plan_blocks(shape, q: int, dtype,
+                block_target: Tuple[int, int] = (16, 32),
+                block_target_2d: int = 128):
+    """Pick the kernel's (bx, by, yhalo, S) for a grid shape, or raise
+    ``NotImplementedError`` when no tile-aligned split exists (e.g. a prime
+    y extent, or y smaller than the halo alignment under bf16) — the
+    caller then falls back to the jnp path instead of crashing inside
+    ``pallas_call`` grid math. Single source of truth shared by gating and
+    the kernel launch."""
+    d = len(shape)
+    if d not in (2, 3):
+        raise NotImplementedError("pallas kernel supports 2D/3D only")
+    minor = shape[-1]
+    if minor % LANES != 0:
+        raise NotImplementedError("minor axis must be a multiple of 128")
+    S = minor // LANES
+    yhalo = 16 if jnp.dtype(dtype) == jnp.bfloat16 else YHALO
+    if d == 2:
+        # cap the output block at ~4 MB so double-buffering fits VMEM at
+        # any grid size
+        cap = max(8, (4 * 1024 * 1024)
+                  // (q * S * LANES * jnp.dtype(dtype).itemsize))
+        bx = _pick_block(shape[0], min(block_target_2d, cap))
+        return bx, None, yhalo, S
+    if yhalo % S != 0:
+        raise NotImplementedError(
+            f"3D minor axis {minor} is not tile-alignable "
+            f"(Z/128 must divide the halo depth {yhalo})")
+    # scale the x-block down for larger velocity sets (q > 19) so the
+    # slab + pipeline buffers fit the VMEM budget
+    bx_target = block_target[0]
+    if q > 19:
+        bx_target = max(4, bx_target * 19 // q)
+    bx = _pick_block(shape[0], bx_target)
+    # by*S must be a multiple of yhalo so halo offsets stay aligned
+    by = _pick_block(shape[1], block_target[1],
+                     multiple=max(1, yhalo // S))
+    if by is None:
+        raise NotImplementedError(
+            f"no tile-aligned y block for extent {shape[1]} "
+            f"(needs a divisor that is a multiple of {max(1, yhalo // S)})")
+    return bx, by, yhalo, S
+
+
 class _RollMasks:
     """Hoisted boolean masks shared by every per-q minor-axis roll."""
 
@@ -814,38 +858,20 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     q = e.shape[0]
     shape = f.shape[1:]
     d = len(shape)
-    assert d in (2, 3)
-    minor = shape[-1]
-    assert minor % LANES == 0, "minor axis must be a multiple of 128"
-    S = minor // LANES
-    yhalo = 16 if f.dtype == jnp.bfloat16 else YHALO
+    bx, by, yhalo, S = plan_blocks(shape, q, f.dtype,
+                                   block_target=block_target,
+                                   block_target_2d=block_target_2d)
 
     if d == 2:
         YS = S
-        by = None
         bys = None
-        # cap the output block at ~4 MB so double-buffering fits VMEM at
-        # any grid size
-        cap = max(8, (4 * 1024 * 1024)
-                  // (q * YS * LANES * jnp.dtype(f.dtype).itemsize))
-        bx = _pick_block(shape[0], min(block_target_2d, cap))
         grid = (shape[0] // bx,)
         merged_shape = (q, shape[0], S, LANES)
         out_block = (q, bx, S, LANES)
         out_index = lambda i: (0, i, 0, 0)
     else:
-        assert yhalo % S == 0, "Z/128 must divide the halo depth"
         YS = shape[1] * S
-        # by*S must be a multiple of yhalo so halo offsets stay aligned
-        by = _pick_block(shape[1], block_target[1],
-                         multiple=max(1, yhalo // S))
         bys = by * S
-        # scale the x-block down for larger velocity sets (q > 19) so the
-        # slab + pipeline buffers fit the VMEM budget
-        bx_target = block_target[0]
-        if q > 19:
-            bx_target = max(4, bx_target * 19 // q)
-        bx = _pick_block(shape[0], bx_target)
         grid = (shape[0] // bx, shape[1] // by)
         merged_shape = (q, shape[0], YS, LANES)
         out_block = (q, bx, bys, LANES)
@@ -941,11 +967,7 @@ def gate_fused_params(simulation: "Simulation") -> dict:
         raise NotImplementedError("pallas kernel supports 2D/3D only")
     if not isinstance(flow.equilibrium, QuadraticEquilibrium):
         raise NotImplementedError
-    if flow.resolution[-1] % LANES != 0:
-        raise NotImplementedError("minor axis must be a multiple of 128")
-    if d == 3 and YHALO % (flow.resolution[-1] // LANES) != 0:
-        raise NotImplementedError("3D minor axis must be in "
-                                  "{128, 256, 512, 1024}")
+    plan_blocks(tuple(flow.resolution), stencil.q, flow.f.dtype)
 
     collision = simulation.collision
     tau_inv = None
@@ -999,32 +1021,28 @@ def gate_fused_params(simulation: "Simulation") -> dict:
     else:
         raise NotImplementedError
 
+    from ..boundary import combined_equilibrium_field
+    feq_field, pernode = combined_equilibrium_field(
+        flow, simulation.boundaries, simulation.no_collision_mask)
+
     boundary_kinds: List[Tuple[str, int]] = []
     feq_b = []
-    feq_field = None
     for index, boundary in enumerate(simulation.boundaries[1:], start=1):
         if isinstance(boundary, BounceBackBoundary):
             boundary_kinds.append(("bounce_back", index))
             feq_b.append(None)
         elif isinstance(boundary, EquilibriumBoundaryPU):
-            rho = flow.units.convert_pressure_pu_to_density_lu(
-                boundary.pressure)
-            u = flow.units.convert_velocity_to_lu(boundary.velocity)
-            feq = flow.equilibrium(flow, rho=jnp.asarray(rho), u=u)
-            if boundary.velocity.ndim > 1 or np.asarray(rho).ndim > 0:
-                # per-node values: contribute to the combined feq field
-                # (the reference's broadcast-aware native path,
+            if index in pernode:
+                # per-node values run via the combined feq field (the
+                # reference's broadcast-aware native path,
                 # cuda_native/ext/_boundary/equilibrium_pu.py)
-                full = jnp.broadcast_to(
-                    feq.reshape(feq.shape + (1,) * (flow.f.ndim - feq.ndim)),
-                    flow.f.shape)
-                if feq_field is None:
-                    feq_field = jnp.zeros_like(flow.f)
-                feq_field = jnp.where(
-                    simulation.no_collision_mask == index, full, feq_field)
                 feq_b.append(None)
                 boundary_kinds.append(("equilibrium_pu_field", index))
             else:
+                rho = flow.units.convert_pressure_pu_to_density_lu(
+                    boundary.pressure)
+                u = flow.units.convert_velocity_to_lu(boundary.velocity)
+                feq = flow.equilibrium(flow, rho=jnp.asarray(rho), u=u)
                 feq_b.append(tuple(float(v) for v in np.asarray(feq)))
                 boundary_kinds.append(("equilibrium_pu", index))
         else:
@@ -1062,6 +1080,11 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     if dev_storage and params["collision_spec"][0] == "mrt":
         raise NotImplementedError("MRT fragment is not shift-invariant; "
                                   "half storage unsupported")
+    if dev_storage:
+        # bf16 deviation storage doubles the halo depth; the block split
+        # must exist at that alignment too
+        plan_blocks(tuple(simulation.flow.resolution),
+                    simulation.flow.stencil.q, jnp.bfloat16)
 
     ncm = simulation.no_collision_mask
     nsm = simulation.no_streaming_mask

@@ -176,6 +176,7 @@ class DomainDecomposition:
     # ------------------------------------------------------------------
     def _native_local_step(self, simulation: "Simulation", params: dict,
                            axis_name: str, n_shards: int,
+                           pernode: Tuple[int, ...] = (),
                            dev: bool = False):
         """Per-shard fused-Pallas step with halo fix-up.
 
@@ -198,8 +199,11 @@ class DomainDecomposition:
         fwd = _ring_perm(n_shards, 1)    # data moves +x
         bwd = _ring_perm(n_shards, -1)
 
-        def collide_local(f, ncm_l):
-            """Pointwise collide + mask composition (valid on any slab)."""
+        def collide_local(f, ncm_l, feq_l=None):
+            """Pointwise collide + mask composition (valid on any slab).
+            Per-node equilibrium boundaries replace from the combined feq
+            field (their velocity fields are global-shaped and cannot be
+            recomputed on a local slab)."""
             if ncm_l is None:
                 fp = collision(flow.view(f))
                 for b in boundaries[1:]:
@@ -207,31 +211,38 @@ class DomainDecomposition:
             else:
                 fp = jnp.where(ncm_l == 0, collision(flow.view(f)), f)
                 for i, b in enumerate(boundaries[1:], start=1):
-                    fp = jnp.where(ncm_l == i, b(flow.view(fp)), fp)
+                    if i in pernode:
+                        fp = jnp.where(ncm_l == i, feq_l, fp)
+                    else:
+                        fp = jnp.where(ncm_l == i, b(flow.view(fp)), fp)
             return fp
 
         if dev:
             w_b = jnp.asarray(np_.asarray(flow.stencil.w),
                               jnp.float32).reshape((-1,) + (1,) * d)
 
-        def step(f, ncm_l, nsm_l):
+        def step(f, ncm_l, nsm_l, feq_l):
             from ..ops.pallas.stream_collide import fused_stream_collide
             out = fused_stream_collide(
                 f, no_collision_mask=ncm_l, no_streaming_mask=nsm_l,
-                dev_storage=dev, **params)
+                feq_field=feq_l, dev_storage=dev, **params)
 
             # post-collision edge planes of THIS shard (collision runs in
             # f-space; deviation storage decodes/encodes the tiny planes)
             last = f.shape[1] - 1
             ncm_first = None if ncm_l is None else ncm_l[:1]
             ncm_last = None if ncm_l is None else ncm_l[last:]
+            feq_first = None if feq_l is None else feq_l[:, :1]
+            feq_last = None if feq_l is None else feq_l[:, last:]
             if dev:
                 dec = lambda p: p.astype(jnp.float32) + w_b
                 enc = lambda p: (p - w_b).astype(f.dtype)
             else:
                 dec = enc = lambda p: p
-            fp_first = enc(collide_local(dec(f[:, :1]), ncm_first))
-            fp_last = enc(collide_local(dec(f[:, last:]), ncm_last))
+            fp_first = enc(collide_local(dec(f[:, :1]), ncm_first,
+                                         feq_first))
+            fp_last = enc(collide_local(dec(f[:, last:]), ncm_last,
+                                        feq_last))
 
             # exchange: my last plane -> right neighbour; first -> left
             recv_left = jax.lax.ppermute(fp_last, axis_name, fwd)
@@ -275,10 +286,13 @@ class DomainDecomposition:
         collision = simulation.collision
         boundaries = simulation.boundaries  # [None] + sorted, index == code
         for b in boundaries[1:]:
-            assert not isinstance(b, AntiBounceBackOutlet), \
-                ("face-slicing boundaries (AntiBounceBackOutlet/"
-                 "EquilibriumOutletP) are not supported under sharding yet; "
-                 "shard the other grid axes instead")
+            # a face-slicing outlet is shard-local as long as its face axis
+            # is complete on every shard (pointwise/roll formulation); the
+            # whole face then lives distributed across shards correctly
+            if isinstance(b, AntiBounceBackOutlet):
+                assert b.face_axis not in self.grid_axes, \
+                    (f"outlet face axis {b.face_axis} is sharded; shard "
+                     f"the other grid axes instead")
 
         d = flow.stencil.d
         for idx, a in enumerate(self.grid_axes):
@@ -295,29 +309,37 @@ class DomainDecomposition:
         has_ncm = ncm is not None
         has_nsm = nsm is not None
 
+        from ..ops.boundary import combined_equilibrium_field
+        feq_field, pernode = combined_equilibrium_field(
+            flow, boundaries, ncm)
+        has_feq = feq_field is not None
+
         # try the fused-kernel local step (1D x-sharding only)
         native_step = None
         if simulation.context.use_native and self.grid_axes == (0,):
             try:
                 from ..ops.pallas.stream_collide import gate_fused_params
                 params = gate_fused_params(simulation)
-                if dev and (params["collision_spec"][0] == "mrt"
-                            or params.get("feq_field") is not None):
+                # the combined feq field is a shard_map operand, sliced per
+                # shard — not a baked-in global constant
+                params.pop("feq_field", None)
+                if dev and params["collision_spec"][0] == "mrt":
                     raise NotImplementedError
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
-                    self.mesh_shape[0], dev=dev)
+                    self.mesh_shape[0], pernode=pernode, dev=dev)
             except NotImplementedError:
                 native_step = None
         if dev and native_step is None:
             raise NotImplementedError(
                 "deviation storage requires the fused kernel path")
 
-        def local_step(f, ncm_in, nsm_in):
+        def local_step(f, ncm_in, nsm_in, feq_in):
             ncm_l = ncm_in if has_ncm else None
             nsm_l = nsm_in if has_nsm else None
+            feq_l = feq_in if has_feq else None
             if native_step is not None:
-                return native_step(f, ncm_l, nsm_l)
+                return native_step(f, ncm_l, nsm_l, feq_l)
             # collide (pointwise -> valid on local shards)
             if ncm_l is None:
                 f_post = collision(flow.view(f))
@@ -326,15 +348,19 @@ class DomainDecomposition:
             else:
                 f_post = jnp.where(ncm_l == 0, collision(flow.view(f)), f)
                 for i, b in enumerate(boundaries[1:], start=1):
-                    f_post = jnp.where(ncm_l == i, b(flow.view(f_post)),
-                                       f_post)
+                    if i in pernode:
+                        f_post = jnp.where(ncm_l == i, feq_l, f_post)
+                    else:
+                        f_post = jnp.where(ncm_l == i, b(flow.view(f_post)),
+                                           f_post)
             # stream with halo exchange
             return sharded_stream(f_post, flow.stencil.e, sharded_axes,
                                   nsm_l)
 
         in_specs = (fspec,
                     self.grid_spec(d) if has_ncm else P(),
-                    fspec if has_nsm else P())
+                    fspec if has_nsm else P(),
+                    fspec if has_feq else P())
         mapped = shard_map(local_step, mesh=self.mesh,
                            in_specs=in_specs, out_specs=fspec)
 
@@ -342,8 +368,10 @@ class DomainDecomposition:
             else jnp.zeros((), dtype=jnp.uint8)
         nsm_arg = self.shard_f(nsm) if has_nsm \
             else jnp.zeros((), dtype=bool)
+        feq_arg = self.shard_f(feq_field) if has_feq \
+            else jnp.zeros((), dtype=flow.f.dtype)
 
         def step(f):
-            return mapped(f, ncm_arg, nsm_arg)
+            return mapped(f, ncm_arg, nsm_arg, feq_arg)
 
         return step

@@ -98,11 +98,22 @@ def test_equilibrium_outlet_p_sets_face(fix_context):
     flow = lt.Obstacle(fix_context, [16, 8], reynolds_number=50,
                        mach_number=0.05, domain_length_x=1.6)
     outlet = lt.EquilibriumOutletP([1, 0], flow, rho_outlet=1.0)
+    # the boundary returns a full replacement field; the Simulation composes
+    # it with where(no_collision_mask == i, ...), so only the face is used
+    mask = np.asarray(outlet.make_no_collision_mask(
+        list(flow.resolution), flow.context), dtype=bool)
+    assert mask[-1, :].all() and not mask[:-1, :].any()
     out = np.asarray(outlet(flow))
-    # interior unchanged
-    np.testing.assert_array_equal(out[:, :-1, :],
+    composed = np.where(mask, out, np.asarray(flow.f))
+    np.testing.assert_array_equal(composed[:, :-1, :],
                                   np.asarray(flow.f)[:, :-1, :])
-    assert np.all(np.isfinite(out[:, -1, :]))
+    assert np.all(np.isfinite(composed[:, -1, :]))
+    # face value is feq(rho_outlet, u_neighbor)
+    u_nbr = np.asarray(flow.u())[:, -2, :]
+    feq = np.asarray(flow.equilibrium(
+        flow, jnp.ones((1, 8), dtype=flow.f.dtype),
+        jnp.asarray(u_nbr)))
+    np.testing.assert_allclose(composed[:, -1, :], feq, rtol=1e-6)
 
 
 def test_couette_converges_to_linear_profile(fix_context):

@@ -287,3 +287,35 @@ def test_native_step_differentiable():
     assert np.all(np.isfinite(grads[True]))
     assert float(np.abs(grads[True]).max()) > 0
     np.testing.assert_allclose(grads[True], grads[False], atol=1e-5)
+
+
+def test_native_fallback_on_unsplittable_grid(capsys):
+    """A grid with no tile-aligned block split (y=12 has no divisor that is
+    a multiple of yhalo=8) falls back to the jnp path cleanly instead of
+    crashing inside pallas_call grid math."""
+    flow = lt.TaylorGreenVortex(_ctx(True), [8, 12, 128], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [])
+    assert sim._step_kind == "jnp"
+    assert "falling back" in capsys.readouterr().out
+    sim(2)
+    assert np.all(np.isfinite(np.asarray(flow.f)))
+
+
+def test_half_storage_fallback_on_unsplittable_grid():
+    """bf16 deviation storage doubles the halo depth (yhalo=16): a y extent
+    of 8 supports the f32 kernel but not the bf16 one — half_storage must
+    degrade to full precision with a warning, not crash."""
+    import warnings
+    flow = lt.TaylorGreenVortex(_ctx(True), [16, 8, 128], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [], half_storage=True)
+    assert sim._step_kind == "pallas"  # the f32 kernel still engages
+    assert sim._step_dev is None
+    assert any("full precision" in str(w.message) for w in rec)
+    sim(2)
+    assert np.all(np.isfinite(np.asarray(flow.f)))

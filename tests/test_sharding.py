@@ -185,3 +185,119 @@ def test_sharded_half_storage():
     # edge planes take one extra bf16 round-trip through the exchange
     np.testing.assert_allclose(a, b, atol=2e-4)
     np.testing.assert_allclose(a.sum(), 64 * 16 * 128, rtol=1e-4)
+
+
+def test_sharded_obstacle_flow(ctx64):
+    """The flagship open-boundary case (inlet + anti-bounce-back outlet +
+    obstacle) under sharding. The outlet face spans x=-1, so the domain is
+    sharded along y (the face axis stays shard-local and the pointwise/
+    roll outlet formulation is exact per shard)."""
+    def make():
+        flow = lt.Obstacle(ctx64, [24, 16], reynolds_number=50,
+                           mach_number=0.05, domain_length_x=2.4)
+        x, y = [np.asarray(g) for g in flow.grid]
+        flow.mask = (x - 1.0) ** 2 + (y - 0.8) ** 2 < 0.04
+        return flow
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    sim_ref(20)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(1,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    sim_sh(20)
+
+    np.testing.assert_array_equal(np.asarray(flow_sh.f),
+                                  np.asarray(flow_ref.f))
+
+
+def test_sharded_outlet_face_axis_guard(ctx64):
+    """Sharding the outlet's own face axis is rejected with a clear
+    error instead of silently computing garbage."""
+    flow = lt.Obstacle(ctx64, [24, 16], reynolds_number=50,
+                       mach_number=0.05, domain_length_x=2.4)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    with pytest.raises(AssertionError, match="face axis"):
+        lt.Simulation(flow,
+                      lt.BGKCollision(flow.units.relaxation_parameter_lu),
+                      [], decomposition=decomp)
+
+
+def _pernode_inlet_flow(ctx, resolution, vel_scale=0.05):
+    mask = np.zeros(tuple(resolution), dtype=bool)
+    mask[0, :] = True
+    rng = np.random.RandomState(7)
+    vel = rng.rand(2, *resolution) * vel_scale
+    return TestFlow(ctx, resolution=list(resolution), stencil=lt.D2Q9(),
+                    boundaries=[lt.EquilibriumBoundaryPU(
+                        ctx, mask, vel, 0.001)])
+
+
+def test_sharded_per_node_inlet(ctx64):
+    """Per-node EquilibriumBoundaryPU under sharding: the combined feq
+    field travels as a shard_map operand, cut to local shards."""
+    flow_ref = _pernode_inlet_flow(ctx64, (16, 16))
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    sim_ref(8)
+
+    flow_sh = _pernode_inlet_flow(ctx64, (16, 16))
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    sim_sh(8)
+
+    # the combined feq field is precomputed eagerly while the single-device
+    # path traces feq inline, so XLA fusion differs by ~1 ulp
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-14)
+
+
+def test_sharded_native_per_node_inlet():
+    """Sharded fused kernel with a per-node equilibrium inlet (feq field
+    as a per-shard kernel input)."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return _pernode_inlet_flow(ctx, (64, 128))
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(6)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    sim_sh(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), atol=1e-6)
+
+
+def test_sharded_half_storage_per_node_inlet():
+    """bf16 deviation storage + sharding + per-node equilibrium inlet all
+    compose (the feq field is encoded to deviations inside the kernel)."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return _pernode_inlet_flow(ctx, (64, 128))
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [],
+                            half_storage=True)
+    assert sim_ref._step_dev is not None
+    sim_ref(6)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp, half_storage=True)
+    assert sim_sh._step_dev is not None
+    sim_sh(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), atol=2e-4)
