@@ -128,10 +128,11 @@ class MRTCollision(Collision):
         return self.transform.inverse_transform(m)
 
     def native_available(self) -> bool:
-        # kernel fragment exists for the D2Q9 transforms with closed-form
+        # kernel fragment exists for the transforms with closed-form
         # equilibrium moments
-        from ..utils.moments import D2Q9Dellar, D2Q9Lallemand
-        return isinstance(self.transform, (D2Q9Lallemand, D2Q9Dellar))
+        from ..utils.moments import D2Q9Dellar, D2Q9Lallemand, D3Q27Hermite
+        return isinstance(self.transform,
+                          (D2Q9Lallemand, D2Q9Dellar, D3Q27Hermite))
 
 
 class RegularizedCollision(Collision):

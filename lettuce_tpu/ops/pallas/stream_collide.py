@@ -511,6 +511,30 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                    jx * jy * inv_r * 9.0,
                    jy * jy * inv_r * 4.5,
                    0.0, 0.0, 0.0]
+        elif meq_kind == "hermite27":
+            # tensor-Hermite equilibrium moments: products of momenta over
+            # rho^(order-1) (utils.moments.D3Q27Hermite.equilibrium). The
+            # reference's native path has no MRT at all.
+            from ...utils.moments import _HERMITE_MULTIINDICES
+            jy, jz = m[2], m[3]
+            inv_r = 1.0 / rho_m
+            comp = [jx, jy, jz]
+            sq = [None, None, None]
+            inv_pow = {0: None, 1: inv_r}
+            for n in (2, 3, 4, 5):
+                inv_pow[n] = inv_pow[n - 1] * inv_r
+            meq = [rho_m, jx, jy, jz]
+            for idx in _HERMITE_MULTIINDICES[4:]:
+                order = sum(idx)
+                val = None
+                for a, n in enumerate(idx):
+                    if n == 0:
+                        continue
+                    if n == 2 and sq[a] is None:
+                        sq[a] = comp[a] * comp[a]
+                    fct = comp[a] if n == 1 else sq[a]
+                    val = fct if val is None else val * fct
+                meq.append(val * inv_pow[order - 1])
         else:
             raise NotImplementedError(meq_kind)
 

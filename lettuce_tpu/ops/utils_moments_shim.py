@@ -9,14 +9,16 @@ import numpy as np
 def resolve_mrt_spec(collision) -> tuple:
     """Build the ("mrt", M, Minv, taus, meq_kind) kernel spec for an
     MRTCollision whose transform has a closed-form equilibrium implemented
-    in the kernel (D2Q9 Lallemand / Dellar)."""
-    from ..utils.moments import D2Q9Dellar, D2Q9Lallemand
+    in the kernel (D2Q9 Lallemand / Dellar, D3Q27 tensor-Hermite)."""
+    from ..utils.moments import D2Q9Dellar, D2Q9Lallemand, D3Q27Hermite
 
     tr = collision.transform
     if isinstance(tr, D2Q9Lallemand):
         meq_kind = "lallemand"
     elif isinstance(tr, D2Q9Dellar):
         meq_kind = "dellar"
+    elif isinstance(tr, D3Q27Hermite):
+        meq_kind = "hermite27"
     else:
         raise NotImplementedError(type(tr).__name__)
     M = tuple(tuple(float(x) for x in row) for row in np.asarray(tr.matrix))

@@ -122,7 +122,9 @@ class Mass(Observable):
 
     def __call__(self, f: Optional[jax.Array] = None):
         f = self.flow.f if f is None else f
-        mass = f[(Ellipsis,) + (slice(1, -1),) * (f.ndim - 1)].sum()
+        # reference trims one cell from the LAST TWO axes only
+        # (mass.py: f[..., 1:-1, 1:-1]), regardless of dimension
+        mass = f[..., 1:-1, 1:-1].sum()
         if self.mask is not None:
             mass -= (f * self.mask.astype(f.dtype)).sum()
         return mass

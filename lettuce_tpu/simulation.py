@@ -74,8 +74,12 @@ class Simulation:
         self.collision = collision
         self.reporter = reporter
         self.decomposition = decomposition
+        # deterministic mask precedence: class name, then declaration order
+        # (the reference sorts by str(b), which embeds the memory address —
+        # nondeterministic across runs for same-class boundaries)
         self.boundaries = ([None]
-                           + sorted(flow.boundaries, key=lambda b: str(b)))
+                           + sorted(flow.boundaries,
+                                    key=lambda b: type(b).__name__))
 
         # ---------------- masks (reference :60-86) ----------------
         self.no_collision_mask = None
@@ -273,23 +277,39 @@ class Simulation:
         n_chunks = num_steps // max(1, interval)
         rem = num_steps - n_chunks * interval
 
-        step = self._step
+        # honour bf16 deviation storage: step in g-space, decode only for
+        # the (tiny) observable evaluations
+        if self._step_dev is not None:
+            step = self._step_dev
+            if self._dev_codec is not None:
+                encode, decode = self._dev_codec
+            else:
+                w_b = jnp.asarray(self._w_dev, self.flow.f.dtype)
+                encode = lambda x: (x - w_b).astype(jnp.bfloat16)
+                decode = lambda g: g.astype(jnp.float32) + w_b
+        else:
+            step = self._step
+            encode = decode = lambda x: x
 
-        def chunk(f, _):
-            f = self._loop(step, f, interval)
+        obs_dtype = self.flow.f.dtype
+
+        def chunk(g, _):
+            g = self._loop(step, g, interval)
             if observables:
-                vals = jnp.stack([jnp.asarray(obs(f), dtype=f.dtype)
+                f = decode(g)
+                vals = jnp.stack([jnp.asarray(obs(f), dtype=obs_dtype)
                                   for obs in observables])
             else:
-                vals = jnp.zeros((0,), dtype=f.dtype)
-            return f, vals
+                vals = jnp.zeros((0,), dtype=obs_dtype)
+            return g, vals
 
         @partial(jax.jit, donate_argnums=0)
         def run(f):
-            f, records = jax.lax.scan(chunk, f, None, length=n_chunks)
+            g = encode(f)
+            g, records = jax.lax.scan(chunk, g, None, length=n_chunks)
             if rem:
-                f = jax.lax.fori_loop(0, rem, lambda _, fi: step(fi), f)
-            return f, records
+                g = jax.lax.fori_loop(0, rem, lambda _, gi: step(gi), g)
+            return decode(g), records
 
         self.flow.f, records = run(self.flow.f)
         self.flow.i += num_steps

@@ -122,6 +122,23 @@ class LettuceDataset:
     def steps(self):
         return np.asarray(self.fs["steps"])
 
+    def loader(self, batch_size: int = 4, shuffle: bool = False,
+               seed: int = 0, drop_last: bool = False):
+        """Minimal batching/shuffling iterator yielding stacked numpy
+        batches — the jax-side analog of wrapping this dataset in a torch
+        ``DataLoader`` (the reference's training pattern,
+        ``util/datautils.py:83-156``). With ``target=True`` each batch is
+        ``(f [B, q, *res], f_target [B, q, *res], idx [B])``."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        stop = len(order)
+        if drop_last:
+            stop -= stop % batch_size
+        for s in range(0, stop, batch_size):
+            items = [self[int(i)] for i in order[s:s + batch_size]]
+            yield tuple(np.stack(col) for col in zip(*items))
+
     def close(self):
         self.fs.close()
 

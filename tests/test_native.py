@@ -319,3 +319,41 @@ def test_half_storage_fallback_on_unsplittable_grid():
     assert any("full precision" in str(w.message) for w in rec)
     sim(2)
     assert np.all(np.isfinite(np.asarray(flow.f)))
+
+
+def test_plain_bf16_state():
+    """--precision half (plain bfloat16 state, NOT deviation form): the
+    kernel computes in f32 and stores bf16. Physics degrades with bf16
+    absolute storage (~3 significant digits), so only sanity is asserted —
+    matching the reference's torch.half support level."""
+    ctx = lt.Context(dtype=jnp.bfloat16, use_native=True)
+    flow = lt.TaylorGreenVortex(ctx, [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [])
+    assert sim._step_kind == "pallas"
+    sim(10)
+    f = np.asarray(flow.f, dtype=np.float32)
+    assert np.all(np.isfinite(f))
+    # mass conserved to bf16 rounding
+    np.testing.assert_allclose(f.sum(), 16 * 128, rtol=2e-2)
+
+
+def test_native_mrt_hermite27_fragment():
+    """D3Q27 tensor-Hermite MRT runs as a kernel fragment (27x27 static
+    matvec + closed-form Hermite equilibrium moments) and matches the jnp
+    MRT. The reference's native path has no MRT at all."""
+    outs = {}
+    for native in (False, True):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        flow = lt.TaylorGreenVortex(ctx, [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q27(),
+                                    initialize_fneq=False)
+        transform = lt.D3Q27Hermite(flow.stencil, ctx)
+        taus = [1.0] * 4 + [1.2] * 6 + [1.1] * 17
+        sim = lt.Simulation(flow, lt.MRTCollision(transform, taus, ctx), [])
+        if native:
+            assert sim._step_kind == "pallas"
+        sim(3)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)

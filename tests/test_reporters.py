@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -139,3 +140,99 @@ def test_rollout_on_device_observables(fix_context):
                                energies_reporter, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(flow_a.f),
                                   np.asarray(flow_b.f))
+
+
+def test_rollout_half_storage():
+    """rollout() steps in bf16 deviation space when half_storage is active
+    (it must not silently run the full-precision step) and decodes only for
+    observable evaluation."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [16, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_h = make()
+    sim_h = lt.Simulation(flow_h, lt.BGKCollision(
+        flow_h.units.relaxation_parameter_lu), [], half_storage=True)
+    assert sim_h._step_dev is not None
+    energy = lt.IncompressibleKineticEnergy(flow_h)
+    records = sim_h.rollout(6, observables=[energy], interval=2)
+    assert records.shape == (3, 1)
+    assert np.all(np.isfinite(np.asarray(records)))
+
+    # equals a plain half-storage run of the same length
+    flow_c = make()
+    sim_c = lt.Simulation(flow_c, lt.BGKCollision(
+        flow_c.units.relaxation_parameter_lu), [], half_storage=True)
+    sim_c(6)
+    np.testing.assert_allclose(np.asarray(flow_h.f), np.asarray(flow_c.f),
+                               atol=1e-6)
+
+
+def test_rollout_sharded():
+    """rollout() composes with domain decomposition (the sharded step and
+    per-shard dev codec run inside the scan)."""
+    ctx = lt.Context(dtype=jnp.float64)
+    flow_sh = lt.TaylorGreenVortex(ctx, 32, 100, 0.05, stencil=lt.D2Q9())
+    decomp = lt.DomainDecomposition(mesh_shape=(8,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    energy = lt.IncompressibleKineticEnergy(flow_sh)
+    records = sim_sh.rollout(6, observables=[energy], interval=2)
+
+    flow_ref = lt.TaylorGreenVortex(ctx, 32, 100, 0.05, stencil=lt.D2Q9())
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    records_ref = sim_ref.rollout(6, observables=[
+        lt.IncompressibleKineticEnergy(flow_ref)], interval=2)
+
+    np.testing.assert_array_equal(np.asarray(flow_sh.f),
+                                  np.asarray(flow_ref.f))
+    np.testing.assert_allclose(np.asarray(records),
+                               np.asarray(records_ref), rtol=1e-12)
+
+
+def test_learned_collision_from_hdf5_end_to_end(tmp_path):
+    """The full training pipeline of example 06: generate HDF5 data, batch
+    it with LettuceDataset.loader, and train the MLP collision correction
+    against stored targets — loss must decrease."""
+    import sys
+    sys.path.insert(0, "examples")
+    try:
+        ex = __import__("06_learned_collision_from_hdf5")
+    finally:
+        sys.path.pop(0)
+
+    filebase = str(tmp_path / "tgv2d")
+    ex.generate_dataset(filebase, resolution=8, num_steps=24, interval=4)
+    params, history = ex.train(filebase, epochs=3, batch_size=2,
+                               verbose=False)
+    assert len(history) == 3
+    assert np.all(np.isfinite(history))
+    assert history[-1] < history[0], f"loss did not decrease: {history}"
+
+
+def test_dataset_loader_batches(tmp_path):
+    """LettuceDataset.loader yields stacked, shuffled batches."""
+    ctx = lt.Context(dtype=jnp.float32)
+    flow = lt.TaylorGreenVortex(ctx, 8, 100, 0.05, stencil=lt.D2Q9(),
+                                initialize_fneq=False)
+    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+    base = str(tmp_path / "out")
+    rep = lt.HDF5Reporter(flow, collision, interval=1, filebase=base)
+    lt.Simulation(flow, collision, [rep])(6)
+    rep.close()
+
+    ds = lt.LettuceDataset(base, target=True)
+    batches = list(ds.loader(batch_size=3, shuffle=True, seed=1,
+                             drop_last=True))
+    assert len(batches) == 2
+    f_b, tgt_b, idx_b = batches[0]
+    assert f_b.shape == (3, 9, 8, 8) and tgt_b.shape == (3, 9, 8, 8)
+    # shuffled: indices are a permutation subset, targets really are f[i+1]
+    all_idx = np.concatenate([b[2] for b in batches])
+    assert sorted(all_idx.tolist()) == list(range(6))
+    np.testing.assert_array_equal(batches[0][1][0],
+                                  np.asarray(ds.fs["f"][int(idx_b[0]) + 1]))
+    ds.close()
