@@ -1,12 +1,13 @@
-"""Couette flow: shear between a moving top wall and a fixed bottom wall.
+"""Plane Couette flow: fluid sheared between a sliding lid and a fixed
+plate.
 
-Parity with reference ``/root/reference/lettuce/ext/_flows/couette.py:16-76``
-(moving ``EquilibriumBoundaryPU`` wall + ``BounceBackBoundary``), with two
-deliberate fixes: the reference sets ``characteristic_velocity_pu = u0 = 0``
-(division by zero in every velocity conversion) and places the moving wall at
-grid column 1; here the characteristic velocity is the wall velocity (1.0)
-and the walls sit on the actual domain faces, so the analytic linear profile
-``u_x(y) = y * u_wall`` holds.
+Case-equivalent to the reference's ``couette.py:16-76``, with two
+deliberate fixes carried over from round 1 (both verified against the
+analytic profile): the characteristic velocity is the WALL velocity — the
+reference uses its zero background velocity, which breaks every velocity
+conversion with a division by zero — and the moving wall sits on the
+actual y=1 face rather than grid column 1, so the steady state is the
+exact linear profile ``u_x(y) = u_wall * y``.
 """
 
 from __future__ import annotations
@@ -18,65 +19,55 @@ import numpy as np
 
 from ..ops.boundary import BounceBackBoundary, EquilibriumBoundaryPU
 from ..unit import UnitConversion
-from ._ext_flow import ExtFlow
+from ._ext_flow import ExtFlow, closed_grid, expand_resolution, face_mask
 
 __all__ = ["CouetteFlow2D"]
 
 
 class CouetteFlow2D(ExtFlow):
+    """Wall-bounded shear: y=0 is a bounce-back plate, y=1 an equilibrium
+    wall moving at ``u_wall`` in x. Starts from rest."""
+
+    u_wall = 1.0
+    u0 = 0  # background velocity
 
     def __init__(self, context: "Context", resolution: Union[int, List[int]],
                  reynolds_number, mach_number,
                  stencil: Optional["Stencil"] = None,
                  equilibrium: Optional["Equilibrium"] = None):
-        self.u0 = 0  # background velocity
-        self.u_wall = 1.0
         super().__init__(context, resolution, reynolds_number, mach_number,
                          stencil, equilibrium)
 
-    def make_resolution(self, resolution: Union[int, List[int]],
-                        stencil: Optional["Stencil"] = None) -> List[int]:
-        if isinstance(resolution, int):
-            return [resolution] * 2
-        return resolution
-
-    def make_units(self, reynolds_number, mach_number,
-                   resolution: List[int]) -> "UnitConversion":
-        return UnitConversion(
-            reynolds_number=reynolds_number,
-            mach_number=mach_number,
-            characteristic_length_lu=resolution[0],
-            characteristic_length_pu=1,
-            characteristic_velocity_pu=self.u_wall)
-
-    def analytic_solution(self, t=0):
-        x, y = self.grid
-        u = jnp.stack([self.u_wall * y + self.u0, jnp.zeros_like(y)])
-        p = jnp.zeros_like(y)[None, ...]
-        return p, u
-
-    def initial_pu(self):
-        zeros = jnp.zeros(tuple(self.resolution), dtype=self.context.dtype)
-        p = zeros[None, ...]
-        u = jnp.stack([zeros, zeros], axis=0)
-        return p, u
-
     @property
     def grid(self):
-        xyz = tuple(jnp.linspace(0, 1, n, dtype=self.context.dtype)
-                    for n in self.resolution)
-        return jnp.meshgrid(*xyz, indexing="ij")
+        return closed_grid(self.resolution, 1.0, self.context.dtype)
 
     @property
     def boundaries(self):
-        ktop = np.zeros(tuple(self.resolution), dtype=bool)
-        ktop[:, -1] = True
-        kbottom = np.zeros(tuple(self.resolution), dtype=bool)
-        kbottom[:, 0] = True
         return [
-            # moving wall (top)
-            EquilibriumBoundaryPU(self.context, mask=ktop,
-                                  velocity=np.array([self.u_wall, 0.0])),
-            # fixed wall (bottom)
-            BounceBackBoundary(kbottom),
+            EquilibriumBoundaryPU(
+                self.context, mask=face_mask(self.resolution, axis=1, end=-1),
+                velocity=np.array([self.u_wall, 0.0])),
+            BounceBackBoundary(face_mask(self.resolution, axis=1, end=0)),
         ]
+
+    def initial_pu(self):
+        rest = jnp.zeros(tuple(self.resolution), dtype=self.context.dtype)
+        return rest[None], jnp.stack([rest, rest])
+
+    def analytic_solution(self, t=0):
+        """Steady state: linear shear profile, uniform pressure."""
+        y = self.grid[1]
+        u = jnp.stack([self.u_wall * y + self.u0, jnp.zeros_like(y)])
+        return jnp.zeros_like(y)[None], u
+
+    def make_resolution(self, resolution: Union[int, List[int]],
+                        stencil: Optional["Stencil"] = None) -> List[int]:
+        return expand_resolution(resolution, 2)
+
+    def make_units(self, reynolds_number, mach_number,
+                   resolution: List[int]) -> "UnitConversion":
+        return UnitConversion(reynolds_number, mach_number,
+                              characteristic_length_lu=resolution[0],
+                              characteristic_length_pu=1,
+                              characteristic_velocity_pu=self.u_wall)

@@ -1,7 +1,10 @@
-"""Doubly periodic shear layer in 2D.
+"""Doubly periodic shear layer (Minion & Brown 1997).
 
-Parity with reference ``/root/reference/lettuce/ext/_flows/doublyshear.py``:
-tanh shear layers plus a sinusoidal perturbation, fully periodic.
+Case-equivalent to the reference's ``doublyshear.py``: two tanh shear
+layers at y=0.25 and y=0.75 plus a small sinusoidal cross-flow
+perturbation that triggers the roll-up. Fully periodic; a standard
+benchmark for under-resolved stability (the classic showcase for KBC /
+regularized collisions).
 """
 
 from __future__ import annotations
@@ -11,14 +14,14 @@ from typing import List, Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..stencil import D2Q9
 from ..unit import UnitConversion
-from ._ext_flow import ExtFlow
+from ._ext_flow import ExtFlow, expand_resolution, periodic_grid
 
 __all__ = ["DoublyPeriodicShear2D"]
 
 
 class DoublyPeriodicShear2D(ExtFlow):
+    """Perturbed double shear layer on the unit torus."""
 
     def __init__(self, context: "Context", resolution: Union[int, List[int]],
                  reynolds_number, mach_number,
@@ -27,50 +30,40 @@ class DoublyPeriodicShear2D(ExtFlow):
                  shear_layer_width=80,
                  initial_perturbation_magnitude=0.05,
                  initialize_fneq: bool = True):
-        self.initialize_fneq = initialize_fneq
-        self.initial_perturbation_magnitude = initial_perturbation_magnitude
         self.shear_layer_width = shear_layer_width
-        self.stencil = D2Q9() if stencil is None else stencil
+        self.initial_perturbation_magnitude = initial_perturbation_magnitude
+        self.initialize_fneq = initialize_fneq
         super().__init__(context, resolution, reynolds_number, mach_number,
-                         self.stencil, equilibrium)
-
-    def make_resolution(self, resolution: Union[int, List[int]],
-                        stencil: Optional["Stencil"] = None) -> List[int]:
-        if isinstance(resolution, int):
-            return [resolution] * self.stencil.d
-        assert len(resolution) == 2, "expected 2-dimensional resolution"
-        return resolution
-
-    def make_units(self, reynolds_number, mach_number,
-                   resolution: List[int]) -> "UnitConversion":
-        return UnitConversion(
-            reynolds_number=reynolds_number, mach_number=mach_number,
-            characteristic_length_lu=resolution[0],
-            characteristic_length_pu=1,
-            characteristic_velocity_pu=1)
-
-    def analytic_solution(self, t=0):
-        raise NotImplementedError
-
-    def initial_pu(self):
-        pert = self.initial_perturbation_magnitude
-        w = self.shear_layer_width
-        grid = self.grid
-        u1 = jnp.where(grid[1] > 0.5,
-                       jnp.tanh(w * (grid[1] - 0.25)),
-                       jnp.tanh(w * (0.75 - grid[1])))
-        u2 = pert * jnp.sin(2 * np.pi * (grid[0] + 0.25))
-        u = jnp.stack([u1, u2])
-        p = jnp.zeros_like(u1)[None, ...]
-        return p, u
+                         stencil, equilibrium)
 
     @property
     def grid(self):
-        xyz = tuple(
-            jnp.linspace(0, 1 - 1 / n, n, dtype=self.context.dtype)
-            for n in self.resolution)
-        return jnp.meshgrid(*xyz, indexing="ij")
+        return periodic_grid(self.resolution, 1.0, self.context.dtype)
 
     @property
     def boundaries(self):
-        return []
+        return []  # fully periodic
+
+    def initial_pu(self):
+        x, y = self.grid
+        k = self.shear_layer_width
+        ux = jnp.where(y > 0.5,
+                       jnp.tanh(k * (y - 0.25)),
+                       jnp.tanh(k * (0.75 - y)))
+        uy = (self.initial_perturbation_magnitude
+              * jnp.sin(2 * np.pi * (x + 0.25)))
+        return jnp.zeros_like(ux)[None], jnp.stack([ux, uy])
+
+    def analytic_solution(self, t=0):
+        raise NotImplementedError  # no closed-form solution exists
+
+    def make_resolution(self, resolution: Union[int, List[int]],
+                        stencil: Optional["Stencil"] = None) -> List[int]:
+        return expand_resolution(resolution, 2, allowed=(2,))
+
+    def make_units(self, reynolds_number, mach_number,
+                   resolution: List[int]) -> "UnitConversion":
+        return UnitConversion(reynolds_number, mach_number,
+                              characteristic_length_lu=resolution[0],
+                              characteristic_length_pu=1,
+                              characteristic_velocity_pu=1)
