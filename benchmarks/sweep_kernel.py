@@ -1,0 +1,108 @@
+"""Kernel parameter sweep on the real TPU.
+
+Times the fused stream-collide kernel at D3Q19 256^3 across temporal
+blocking depths (n_sub), block targets and VMEM budgets, for f32 and
+bf16-deviation storage. Prints one line per configuration; used to pick
+the defaults in stream_collide.py.
+
+Usage: python benchmarks/sweep_kernel.py [--steps 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from timeit import default_timer as timer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=128)
+    parser.add_argument("--res", type=int, default=256)
+    args = parser.parse_args()
+
+    import lettuce_tpu as lt
+    from lettuce_tpu.ops.pallas.stream_collide import fused_stream_collide
+
+    ctx = lt.Context(dtype=jnp.float32, use_native=True)
+    flow = lt.TaylorGreenVortex(ctx, args.res, 1600, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    st = flow.stencil
+    e = np.asarray(st.e)
+    w = np.asarray(st.w)
+    opp = np.asarray(st.opposite)
+    cs = float(st.cs)
+    tau_inv = float(1.0 / flow.units.relaxation_parameter_lu)
+    n_cells = float(np.prod(flow.resolution))
+    w_b = jnp.asarray(w.reshape((-1, 1, 1, 1)), jnp.float32)
+
+    UNROLL = 32
+
+    def build(block_target, vmem_mb, dev, n_sub, yhalo=None):
+        def multi(x):
+            return fused_stream_collide(
+                x, e, w, opp, cs, tau_inv,
+                collision_spec=("bgk", tau_inv),
+                block_target=block_target, vmem_limit_mb=vmem_mb,
+                dev_storage=dev, n_sub=n_sub, yhalo_rows=yhalo)
+
+        u = max(1, UNROLL // n_sub)
+
+        @jax.jit
+        def run(x, iters):
+            def body(_, xi):
+                for _ in range(u):
+                    xi = multi(xi)
+                return xi
+            return jax.lax.fori_loop(0, iters, body, x)
+        return run, u * n_sub
+
+    def measure(block_target, vmem_mb, dev, n_sub, yhalo=None):
+        x = flow.f
+        if dev:
+            x = (x - w_b).astype(jnp.bfloat16)
+        try:
+            run, steps_per_iter = build(block_target, vmem_mb, dev, n_sub,
+                                        yhalo)
+            y = run(x, 1)  # compile + warm
+            _ = float(y.ravel()[0])
+            iters = max(1, args.steps // steps_per_iter)
+            beg = timer()
+            y = run(y, iters)
+            jax.block_until_ready(y)
+            _ = float(y.ravel()[0])  # honest fetch (axon: ready != done)
+            dt = timer() - beg
+        except Exception as exc:
+            return f"FAIL {type(exc).__name__}: {str(exc)[:80]}"
+        return f"{iters * steps_per_iter * n_cells / 1e6 / dt:8.1f} MLUPS"
+
+    CONFIGS = [
+        # (dev, n_sub, block_target, vmem, yhalo_rows)
+        (False, 4, (16, 32), 100, None),   # round-2 default (baseline)
+        (False, 4, (16, 64), 100, None),
+        (False, 4, (8, 32), 100, None),
+        (False, 8, (16, 32), 100, 16),     # deeper blocking via yhalo=16
+        (False, 8, (16, 32), 128, 16),
+        (False, 8, (16, 16), 100, 16),
+        (False, 8, (8, 32), 100, 16),
+        (True, 2, (16, 32), 100, None),    # bf16-dev default
+        (True, 2, (16, 64), 100, None),
+        (True, 2, (16, 32), 100, 8),       # shallower bf16 halo
+        (True, 4, (16, 32), 100, 8),
+    ]
+    for dev, n_sub, bt, vmem, yh in CONFIGS:
+        tag = "bf16-dev" if dev else "f32"
+        print(f"{tag:9s} n_sub={n_sub} bt={bt!s:9s} vmem={vmem:3d} "
+              f"yhalo={yh}  {measure(bt, vmem, dev, n_sub, yh)}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

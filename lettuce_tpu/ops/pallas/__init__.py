@@ -7,4 +7,4 @@ the fused kernel yet (the Simulation then falls back to the jnp path, like
 the reference falls back to its Python step, ``_simulation.py:100-115``).
 """
 
-from .stream_collide import build_fused_step  # noqa: F401
+from .stream_collide import build_fused_step, build_fused_multi_step  # noqa: F401

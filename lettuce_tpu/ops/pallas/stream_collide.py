@@ -50,7 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_fused_step", "gate_fused_params", "fused_stream_collide"]
+__all__ = ["build_fused_step", "build_fused_multi_step",
+           "gate_fused_params", "fused_stream_collide"]
 
 LANES = 128
 YHALO = 8  # merged-axis halo depth in rows (tile-aligned); S rows are used
@@ -68,7 +69,8 @@ def _pick_block(extent: int, target: int, multiple: int = 1) -> int:
 
 def plan_blocks(shape, q: int, dtype,
                 block_target: Tuple[int, int] = (16, 32),
-                block_target_2d: int = 128):
+                block_target_2d: int = 128,
+                yhalo_rows: Optional[int] = None):
     """Pick the kernel's (bx, by, yhalo, S) for a grid shape, or raise
     ``NotImplementedError`` when no tile-aligned split exists (e.g. a prime
     y extent, or y smaller than the halo alignment under bf16) — the
@@ -82,7 +84,8 @@ def plan_blocks(shape, q: int, dtype,
     if minor % LANES != 0:
         raise NotImplementedError("minor axis must be a multiple of 128")
     S = minor // LANES
-    yhalo = 16 if jnp.dtype(dtype) == jnp.bfloat16 else YHALO
+    yhalo = yhalo_rows if yhalo_rows is not None else (
+        16 if jnp.dtype(dtype) == jnp.bfloat16 else YHALO)
     if d == 2:
         # cap the output block at ~4 MB so double-buffering fits VMEM at
         # any grid size
@@ -164,13 +167,16 @@ def _roll_minor(x, shift: int, S: int, masks: "_RollMasks"):
 # halo-as-blocked-inputs plumbing
 # ----------------------------------------------------------------------
 def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
-                lead_q: Optional[int], yhalo: int = YHALO):
+                lead_q: Optional[int], yhalo: int = YHALO,
+                xhalo: int = 1):
     """(block_shape, index_map) pairs for centre + halo streams of an
     ``[q?, X, YS, 128]`` array blocked over x (and the merged axis in 3D).
     Index maps wrap modularly, giving periodic topology for free. Order:
     [(dx, dm)] for dx, dm in (-1, 0, 1) x (-1, 0, 1) — 3D; x only — 2D.
+    ``xhalo`` is the x-halo depth in planes (> 1 for temporally-blocked
+    multi-step kernels); it must divide bx so halo index maps stay in
+    whole blocks.
     """
-    nbx = X // bx
     q_dims = (lead_q,) if lead_q else ()
     q_zeros = (0,) if lead_q else ()
 
@@ -178,9 +184,12 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
         # block index along x for offset dx in {-1, 0, 1}
         if dx == 0:
             return lambda i: i, bx
-        # 1-wide block at element (i*bx + dx') mod X
-        off = -1 if dx == -1 else bx
-        return (lambda i: (i * bx + off) % X), 1
+        # xhalo-wide block at element (i*bx + dx') mod X, indexed in units
+        # of xhalo blocks
+        ratio = bx // xhalo
+        nblocks = X // xhalo
+        off = -1 if dx == -1 else ratio
+        return (lambda i: (i * ratio + off) % nblocks), xhalo
 
     specs = []
     if bys is None:
@@ -217,18 +226,18 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
 
 
 def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
-                 yhalo: int = YHALO):
+                 yhalo: int = YHALO, xhalo: int = 1):
     """Copy centre+halo input blocks into the contiguous slab scratch —
     nine multi-q vector stores instead of per-q concatenations. Works for
     q-leading f slabs (4D) and plain mask slabs (3D)."""
     lead = (slice(None),) if slab.ndim == 4 else ()
+    xh = xhalo
+    x_slices = [slice(0, xh), slice(xh, xh + bx),
+                slice(xh + bx, 2 * xh + bx)]
     if not is3d:
-        lo, c, hi = parts
-        slab[lead + (slice(0, 1),)] = lo[:]
-        slab[lead + (slice(1, 1 + bx),)] = c[:]
-        slab[lead + (slice(1 + bx, 2 + bx),)] = hi[:]
+        for xs, part in zip(x_slices, parts):
+            slab[lead + (xs,)] = part[:]
         return
-    x_slices = [slice(0, 1), slice(1, 1 + bx), slice(1 + bx, 2 + bx)]
     m_slices = [slice(0, yhalo), slice(yhalo, yhalo + bys),
                 slice(yhalo + bys, yhalo + bys + yhalo)]
     k = 0
@@ -703,6 +712,96 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
     raise NotImplementedError(kind)
 
 
+def _moments(read, q: int, e: np.ndarray, d: int, dev_storage: bool):
+    """rho, u, u2 as add/sub trees over the populations (e components in
+    {-1, 0, 1}: no multiplies)."""
+    rho = None
+    j = [None] * d
+    for qi in range(q):
+        fi = read(qi)
+        rho = fi if rho is None else rho + fi
+        for a in range(d):
+            if e[qi, a] == 1:
+                j[a] = fi if j[a] is None else j[a] + fi
+            elif e[qi, a] == -1:
+                j[a] = -fi if j[a] is None else j[a] - fi
+    if dev_storage:
+        rho = rho + 1.0
+    inv_rho = 1.0 / rho
+    u = [ja * inv_rho for ja in j]
+    u2 = None
+    for uc in u:
+        u2 = uc * uc if u2 is None else u2 + uc * uc
+    return rho, u, u2
+
+
+def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
+                 bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage):
+    """Temporally-blocked sweep: run ``n_sub`` collide-and-stream
+    sub-steps entirely in VMEM, ping-ponging between two slab scratches.
+
+    Pull streaming in-slab: the minor (z) shift is a periodic lane roll
+    (exact — z is complete in the slab); x and merged-y shifts are plain
+    slices, so the valid region shrinks by one x plane and S merged rows
+    per sub-step. The input halo is sized so the final sub-step's valid
+    region covers exactly the output block. Anything outside the valid
+    region is garbage that is computed but never consumed — the z-roll
+    carry logic stays within one S-row group, so garbage cannot leak
+    across the valid boundary (group boundaries are multiples of S).
+    """
+    q = e.shape[0]
+    slabs = [slab, slab2]
+    X_s = slab.shape[1]
+    R_s = slab.shape[2]
+    roll_masks = _RollMasks((X_s, R_s, LANES), S if is3d else R_s)
+
+    for k in range(n_sub):
+        cur = slabs[k % 2]
+        nxt = slabs[(k + 1) % 2]
+
+        def read(qi, _cur=cur):
+            fi = _cur[qi]
+            if fi.dtype != compute_dtype:
+                fi = fi.astype(compute_dtype)
+            return fi
+
+        rho, u, u2 = _moments(read, q, e, d, dev_storage)
+        fpost_of = _make_collide(spec, e, w, opposite, cs, d, rho, u, u2,
+                                 read, dev_storage)
+        last = k == n_sub - 1
+        m = k + 1
+        for qi in range(q):
+            ez = int(e[qi, d - 1])
+            shifted = _roll_minor(fpost_of(qi), ez, S if is3d else R_s,
+                                  roll_masks)
+            ex = int(e[qi, 0])
+            ey = int(e[qi, 1]) if is3d else 0
+            if last:
+                if is3d:
+                    bys = out_ref.shape[2]
+                    v = shifted[n_sub - ex:n_sub - ex + bx,
+                                yhalo - ey * S:yhalo - ey * S + bys]
+                else:
+                    v = shifted[n_sub - ex:n_sub - ex + bx]
+                if v.dtype != out_ref.dtype:
+                    v = v.astype(out_ref.dtype)
+                out_ref[qi] = v
+            else:
+                xs0, xs1 = m, X_s - m
+                if is3d:
+                    rs0, rs1 = m * S, R_s - m * S
+                    v = shifted[xs0 - ex:xs1 - ex,
+                                rs0 - ey * S:rs1 - ey * S]
+                    if v.dtype != nxt.dtype:
+                        v = v.astype(nxt.dtype)
+                    nxt[qi, xs0:xs1, rs0:rs1] = v
+                else:
+                    v = shifted[xs0 - ex:xs1 - ex]
+                    if v.dtype != nxt.dtype:
+                        v = v.astype(nxt.dtype)
+                    nxt[qi, xs0:xs1] = v
+
+
 def _stream_collide_kernel(
         *refs,
         e: np.ndarray, w: np.ndarray, opposite: np.ndarray, cs: float,
@@ -712,10 +811,18 @@ def _stream_collide_kernel(
         feq_boundary: Optional[tuple], yhalo: int = YHALO,
         collision_spec: Optional[tuple] = None,
         has_feq_field: bool = False,
-        dev_storage: bool = False, debug_mode: str = "full"):
+        dev_storage: bool = False, debug_mode: str = "full",
+        n_sub: int = 1):
     """Kernel body (2D: by is None). With ``dev_storage`` the state is the
     deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
-    only rho gains +1 and the relaxed base term gains -tau_inv."""
+    only rho gains +1 and the relaxed base term gains -tau_inv.
+
+    With ``n_sub > 1`` (temporal blocking, periodic configurations only)
+    the kernel advances ``n_sub`` collide-and-stream sub-steps per
+    invocation: the x halo deepens to ``n_sub`` planes and the valid slab
+    region shrinks by one plane and S merged rows per sub-step, while HBM
+    traffic per step drops almost ``n_sub``-fold.
+    """
     q = e.shape[0]
     cs2 = cs * cs
     is3d = by is not None
@@ -739,6 +846,10 @@ def _stream_collide_kernel(
     idx += 1
     slab = refs[idx]
     idx += 1
+    slab2 = None
+    if n_sub > 1:
+        slab2 = refs[idx]
+        idx += 1
     if has_ncm:
         ncm_slab_ref = refs[idx]
         idx += 1
@@ -752,7 +863,7 @@ def _stream_collide_kernel(
     # ------------------------------------------------------------------
     d = 3 if is3d else 2
     _store_parts(f_parts, slab, is3d, bx, by * S if is3d else None,
-                 yhalo=yhalo)
+                 yhalo=yhalo, xhalo=n_sub)
     if has_ncm:
         _store_parts(ncm_parts, ncm_slab_ref, is3d, bx,
                      by * S if is3d else None, yhalo=yhalo)
@@ -761,6 +872,18 @@ def _stream_collide_kernel(
                      by * S if is3d else None, yhalo=yhalo)
 
     compute_dtype = jnp.float32 if slab.dtype == jnp.bfloat16 else slab.dtype
+
+    spec = collision_spec
+    if spec is None:
+        spec = ("none",) if tau_inv is None else ("bgk", tau_inv)
+    if debug_mode == "no_collide":
+        spec = ("none",)
+
+    if n_sub > 1:
+        assert not (has_ncm or has_nsm or has_feq_field)
+        _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
+                     bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage)
+        return
 
     def read_feq_field(qi):
         v = feq_slab_ref[qi]
@@ -774,23 +897,7 @@ def _stream_collide_kernel(
             fi = fi.astype(compute_dtype)
         return fi
 
-    rho = None
-    j = [None] * d
-    for qi in range(q):
-        fi = read(qi)
-        rho = fi if rho is None else rho + fi
-        for a in range(d):
-            if e[qi, a] == 1:
-                j[a] = fi if j[a] is None else j[a] + fi
-            elif e[qi, a] == -1:
-                j[a] = -fi if j[a] is None else j[a] - fi
-    if dev_storage:
-        rho = rho + 1.0
-    inv_rho = 1.0 / rho
-    u = [ja * inv_rho for ja in j]
-    u2 = None
-    for uc in u:
-        u2 = uc * uc if u2 is None else u2 + uc * uc
+    rho, u, u2 = _moments(read, q, e, d, dev_storage)
 
     ncm = ncm_slab_ref[:] if has_ncm else None
     if is3d:
@@ -804,11 +911,6 @@ def _stream_collide_kernel(
     # fused per-q pipeline: collide (pluggable fragment) -> boundary
     # replace -> pull-stream -> write
     # ------------------------------------------------------------------
-    spec = collision_spec
-    if spec is None:
-        spec = ("none",) if tau_inv is None else ("bgk", tau_inv)
-    if debug_mode == "no_collide":
-        spec = ("none",)
     fpost_of = _make_collide(spec, e, w, opposite, cs, d, rho, u, u2,
                              read, dev_storage)
 
@@ -870,21 +972,43 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          feq_field: Optional[jax.Array] = None,
                          dev_storage: bool = False,
                          debug_mode: str = "full",
+                         n_sub: int = 1,
+                         yhalo_rows: Optional[int] = None,
                          interpret: bool = False) -> jax.Array:
-    """One fused collide-and-stream step via Pallas.
+    """One fused collide-and-stream step via Pallas (``n_sub`` steps when
+    temporally blocked).
 
     f: [q, X, Y] or [q, X, Y, Z]; the minor axis must be a multiple of 128
     and, in 3D, Z/128 must divide the halo depth (8 rows for f32, 16 for
     bfloat16). With ``dev_storage`` the array holds deviations g = f - w_q
     (usually bfloat16): HBM traffic halves while compute stays float32 and
     deviations keep full relative precision.
+
+    ``n_sub > 1`` advances that many collide-and-stream steps in one
+    kernel launch (temporal blocking): HBM traffic per step drops almost
+    ``n_sub``-fold at the cost of a deeper x halo and a second VMEM slab.
+    Requires a periodic configuration (no masks / boundaries / feq field),
+    ``n_sub * S <= yhalo`` and ``bx % n_sub == 0``.
     """
     q = e.shape[0]
     shape = f.shape[1:]
     d = len(shape)
     bx, by, yhalo, S = plan_blocks(shape, q, f.dtype,
                                    block_target=block_target,
-                                   block_target_2d=block_target_2d)
+                                   block_target_2d=block_target_2d,
+                                   yhalo_rows=yhalo_rows)
+
+    if n_sub > 1:
+        if (no_collision_mask is not None or no_streaming_mask is not None
+                or feq_field is not None):
+            raise NotImplementedError(
+                "temporal blocking requires a periodic configuration")
+        if bx % n_sub != 0:
+            raise NotImplementedError(
+                f"x block {bx} must be a multiple of n_sub={n_sub}")
+        if d == 3 and n_sub * S > yhalo:
+            raise NotImplementedError(
+                f"n_sub={n_sub} needs {n_sub * S} halo rows, have {yhalo}")
 
     if d == 2:
         YS = S
@@ -907,7 +1031,8 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     has_nsm = no_streaming_mask is not None
     has_feq_field = feq_field is not None
 
-    f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q, yhalo=yhalo)
+    f_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q, yhalo=yhalo,
+                          xhalo=n_sub)
     in_specs = list(f_specs)
     inputs = [f_packed] * len(f_specs)
     if has_ncm:
@@ -941,7 +1066,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         feq_boundary=feq_boundary, yhalo=yhalo,
         collision_spec=collision_spec,
         has_feq_field=has_feq_field,
-        dev_storage=dev_storage, debug_mode=debug_mode)
+        dev_storage=dev_storage, debug_mode=debug_mode, n_sub=n_sub)
 
     compiler_params = None
     if vmem_limit_mb is not None:
@@ -949,7 +1074,10 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
 
     slab_rows = YS if d == 2 else bys + 2 * yhalo
-    scratch = [pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype)]
+    slab_shape = (q, bx + 2 * n_sub, slab_rows, LANES)
+    scratch = [pltpu.VMEM(slab_shape, f.dtype)]
+    if n_sub > 1:
+        scratch.append(pltpu.VMEM(slab_shape, f.dtype))  # ping-pong slab
     if has_ncm:
         scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
     if has_feq_field:
@@ -1083,7 +1211,9 @@ def gate_fused_params(simulation: "Simulation") -> dict:
                 boundary_kinds=tuple(boundary_kinds),
                 feq_boundary=tuple(feq_b),
                 feq_field=feq_field,
-                vmem_limit_mb=64 if not interpret else None,
+                # 100 MB measured faster than 64 on v5e at every n_sub
+                # (benchmarks/sweep_kernel.py)
+                vmem_limit_mb=100 if not interpret else None,
                 interpret=interpret)
 
 
@@ -1140,3 +1270,69 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
 
     step.defvjp(step_fwd, step_bwd)
     return step
+
+
+def build_fused_multi_step(simulation: "Simulation",
+                           dev_storage: bool = False,
+                           n_sub: Optional[int] = None):
+    """Temporally-blocked fused step: returns ``(step_fn, span)`` where
+    ``step_fn`` advances ``span`` collide-and-stream steps per kernel
+    launch, or None when the configuration cannot use temporal blocking
+    (boundaries / masks / per-node feq, or no valid halo depth).
+
+    Traffic per step drops almost ``span``-fold — the lever that takes the
+    kernel past the single-step memory bound. The ``LETTUCE_NSUB``
+    environment variable overrides the span (0 disables).
+    """
+    import os as _os
+
+    env = _os.environ.get("LETTUCE_NSUB")
+    if simulation.context.platform != "tpu" and env is None:
+        # interpret mode gains nothing and pays 'span' kernel traces
+        return None
+    if (simulation.no_collision_mask is not None
+            or simulation.no_streaming_mask is not None):
+        return None
+    try:
+        params = gate_fused_params(simulation)
+    except NotImplementedError:
+        return None
+    if params.pop("feq_field", None) is not None:
+        return None
+    if dev_storage and params["collision_spec"][0] == "mrt":
+        return None
+
+    shape = tuple(simulation.flow.resolution)
+    q = simulation.flow.stencil.q
+    dtype = jnp.bfloat16 if dev_storage else simulation.flow.f.dtype
+
+    if env is not None:
+        candidates = [int(env)]
+    elif n_sub is not None:
+        candidates = [int(n_sub)]
+    elif dev_storage:
+        # measured on v5e (benchmarks/sweep_kernel.py): bf16-dev peaks at
+        # n_sub=2 (7853 MLUPS vs 6098 at n_sub=4 — the doubled halo depth
+        # makes deeper blocking compute-bound)
+        candidates = [2]
+    else:
+        # f32 peaks at n_sub=4 (8644 MLUPS vs 5693 at n_sub=2)
+        candidates = [4, 2]
+    try:
+        bx, by, yhalo, S = plan_blocks(shape, q, dtype)
+    except NotImplementedError:
+        return None
+    for ns in candidates:
+        if ns <= 1:
+            continue
+        if bx % ns != 0:
+            continue
+        if len(shape) == 3 and ns * S > yhalo:
+            continue
+
+        def step(f, _ns=ns):
+            return fused_stream_collide(
+                f, dev_storage=dev_storage, n_sub=_ns, **params)
+
+        return step, ns
+    return None

@@ -102,15 +102,20 @@ class Simulation:
         # ---------------- step-path selection ----------------
         self._step = self._build_jnp_step()
         self._step_kind = "jnp"
+        self._step_multi = None      # (fn, span): temporally-blocked kernel
+        self._step_dev_multi = None
         if self.context.use_native:
             native_step = self._try_build_native_step()
             if native_step is not None:
                 self._step = native_step
                 self._step_kind = "pallas"
+                from .ops.pallas import build_fused_multi_step
+                self._step_multi = build_fused_multi_step(self)
 
         if self.decomposition is not None:
             self._step = self.decomposition.shard_step(self)
             self._step_kind = "sharded"
+            self._step_multi = None  # per-shard temporal blocking: not yet
             self.flow.f = self.decomposition.shard_f(self.flow.f)
 
         # bfloat16 deviation-form storage for the compiled segment loop
@@ -121,9 +126,12 @@ class Simulation:
         if half_storage:
             try:
                 if self._step_kind == "pallas":
-                    from .ops.pallas import build_fused_step
+                    from .ops.pallas import (build_fused_multi_step,
+                                             build_fused_step)
                     self._step_dev = build_fused_step(self,
                                                       dev_storage=True)
+                    self._step_dev_multi = build_fused_multi_step(
+                        self, dev_storage=True)
                 elif self._step_kind == "sharded":
                     self._step_dev = self.decomposition.shard_step(
                         self, dev=True)
@@ -204,13 +212,15 @@ class Simulation:
                   f"falling back to the jnp path.")
             return None
 
-    def _loop(self, step, x, n):
-        # steps per loop-carry update: XLA while-loops cannot alias a
+    def _loop(self, step, x, n, span: int = 1):
+        # invocations per loop-carry update: XLA while-loops cannot alias a
         # pallas_call output into the carry buffer, so every carry update
         # pays one full-array copy; unrolling amortises it (measured:
         # 1324 -> 3097 MLUPS f32 / 5907 bf16-dev at D3Q19 256^3). On CPU
-        # (tests) the extra trace/compile time isn't worth it.
-        u = 32 if self.context.platform == "tpu" else 1
+        # (tests) the extra trace/compile time isn't worth it. ``n`` counts
+        # INVOCATIONS of ``step`` (each advancing ``span`` simulation
+        # steps); the unroll keeps ~32 simulation steps per carry update.
+        u = max(1, 32 // span) if self.context.platform == "tpu" else 1
         if u == 1:
             return jax.lax.fori_loop(0, n, lambda _, xi: step(xi), x)
 
@@ -222,6 +232,16 @@ class Simulation:
         x = jax.lax.fori_loop(0, n // u, body_u, x)
         return jax.lax.fori_loop(0, n % u, lambda _, xi: step(xi), x)
 
+    def _run_mixed(self, x, n, multi, single):
+        """Advance n steps: temporally-blocked kernel for the bulk, the
+        single-step kernel for the remainder."""
+        if multi is not None:
+            fn, span = multi
+            k = n // span
+            x = self._loop(fn, x, k, span=span)
+            n = n - k * span
+        return self._loop(single, x, n)
+
     def _run_steps(self, f: jax.Array, n) -> jax.Array:
         if self._step_dev is not None:
             if self._dev_codec is not None:
@@ -231,9 +251,9 @@ class Simulation:
                 encode = lambda x: (x - w_b).astype(jnp.bfloat16)
                 decode = lambda g: g.astype(jnp.float32) + w_b
             g = encode(f)
-            g = self._loop(self._step_dev, g, n)
+            g = self._run_mixed(g, n, self._step_dev_multi, self._step_dev)
             return decode(g)
-        return self._loop(self._step, f, n)
+        return self._run_mixed(f, n, self._step_multi, self._step)
 
     # ------------------------------------------------------------------
     # public API

@@ -357,3 +357,33 @@ def test_native_mrt_hermite27_fragment():
         sim(3)
         outs[native] = np.asarray(flow.f)
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
+
+
+def test_temporal_blocking_matches_single_step(monkeypatch):
+    """The temporally-blocked kernel (n_sub sub-steps per launch) advances
+    the state identically to repeated single steps, through the full
+    Simulation plumbing (bulk multi-step + remainder single-step)."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [16, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_m = make()
+    sim_m = lt.Simulation(flow_m, lt.BGKCollision(
+        flow_m.units.relaxation_parameter_lu), [])
+    assert sim_m._step_multi is not None
+    assert sim_m._step_multi[1] == 2
+    sim_m(5)  # 2 multi launches + 1 single-step remainder
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_s = make()
+    sim_s = lt.Simulation(flow_s, lt.BGKCollision(
+        flow_s.units.relaxation_parameter_lu), [])
+    assert sim_s._step_multi is None  # interpret mode: disabled by default
+    sim_s(5)
+
+    np.testing.assert_array_equal(np.asarray(flow_m.f),
+                                  np.asarray(flow_s.f))
