@@ -132,6 +132,10 @@ class AntiBounceBackOutlet(Boundary):
 
     def __init__(self, direction: List[int], flow: "Flow",
                  collision: "Collision" = None):
+        # stored for reference API parity (anti_bounce_back_outlet.py:22-25
+        # keeps a BGK default); the anti-bounce-back update itself never
+        # evaluates it
+        self.collision = collision
         assert len(direction) in [1, 2, 3], \
             (f"Invalid direction parameter. Expected direction of length "
              f"1, 2 or 3 but got {len(direction)}.")

@@ -270,6 +270,72 @@ class DomainDecomposition:
 
         return step
 
+    def shard_multi_step(self, simulation: "Simulation",
+                         dev: bool = False):
+        """Temporally-blocked per-shard step: returns ``(fn, span)`` or
+        None.
+
+        Each shard receives ``span`` planes from both neighbours over ICI
+        (one ppermute pair per ``span`` steps instead of per step), runs
+        the n_sub fused kernel on the extended slab, and keeps the
+        interior: a plane's n_sub-step dependency cone spans n_sub planes,
+        so the interior of the extended result is exactly the true
+        evolution. Periodic configurations with 1D x sharding only.
+        """
+        from ..ops.boundary import combined_equilibrium_field
+        from ..ops.pallas.stream_collide import (build_fused_multi_step,
+                                                 fused_stream_collide,
+                                                 gate_fused_params,
+                                                 plan_blocks)
+        from ._shard_map_compat import shard_map
+
+        flow = simulation.flow
+        if (simulation.no_collision_mask is not None
+                or simulation.no_streaming_mask is not None
+                or not simulation.context.use_native
+                or self.grid_axes != (0,)):
+            return None
+        probe = build_fused_multi_step(simulation, dev_storage=dev)
+        if probe is None:
+            return None
+        _, n_sub = probe
+        try:
+            params = gate_fused_params(simulation)
+        except NotImplementedError:
+            return None
+        params.pop("feq_field", None)
+
+        d = flow.stencil.d
+        n_shards = self.mesh_shape[0]
+        local_x = flow.resolution[0] // n_shards
+        ext_shape = (local_x + 2 * n_sub,) + tuple(flow.resolution[1:])
+        dtype = jnp.bfloat16 if dev else flow.f.dtype
+        q = flow.stencil.q
+        try:
+            bx, _, yhalo, S = plan_blocks(ext_shape, q, dtype)
+            if bx % n_sub != 0 or (d == 3 and n_sub * S > yhalo):
+                return None
+        except NotImplementedError:
+            return None
+
+        axis_name = self.axis_names[0]
+        fwd = _ring_perm(n_shards, 1)
+        bwd = _ring_perm(n_shards, -1)
+
+        def local_step(f):
+            # my last planes -> right neighbour's left halo, and vice versa
+            recv_left = jax.lax.ppermute(f[:, -n_sub:], axis_name, fwd)
+            recv_right = jax.lax.ppermute(f[:, :n_sub], axis_name, bwd)
+            ext = jnp.concatenate([recv_left, f, recv_right], axis=1)
+            out = fused_stream_collide(ext, dev_storage=dev, n_sub=n_sub,
+                                       **params)
+            return out[:, n_sub:-n_sub]
+
+        fspec = self.f_spec(d)
+        mapped = shard_map(local_step, mesh=self.mesh, in_specs=(fspec,),
+                           out_specs=fspec)
+        return mapped, n_sub
+
     def shard_step(self, simulation: "Simulation", dev: bool = False):
         """Build the shard_mapped collide-and-stream step for a Simulation.
 

@@ -115,7 +115,7 @@ class Simulation:
         if self.decomposition is not None:
             self._step = self.decomposition.shard_step(self)
             self._step_kind = "sharded"
-            self._step_multi = None  # per-shard temporal blocking: not yet
+            self._step_multi = self.decomposition.shard_multi_step(self)
             self.flow.f = self.decomposition.shard_f(self.flow.f)
 
         # bfloat16 deviation-form storage for the compiled segment loop
@@ -135,6 +135,8 @@ class Simulation:
                 elif self._step_kind == "sharded":
                     self._step_dev = self.decomposition.shard_step(
                         self, dev=True)
+                    self._step_dev_multi = \
+                        self.decomposition.shard_multi_step(self, dev=True)
                 else:
                     raise NotImplementedError
             except NotImplementedError:

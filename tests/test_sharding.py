@@ -301,3 +301,33 @@ def test_sharded_half_storage_per_node_inlet():
 
     np.testing.assert_allclose(np.asarray(flow_sh.f),
                                np.asarray(flow_ref.f), atol=2e-4)
+
+
+def test_sharded_temporal_blocking(monkeypatch):
+    """Per-shard temporal blocking: span planes exchanged once per span
+    steps, blocked kernel on the extended slab, interior kept — matches
+    the single-device kernel path."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(6)  # 3 blocked launches
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), atol=1e-6)
