@@ -25,22 +25,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_config(name, make_flow, collision_factory, steps, use_native):
+def bench_config(name, make_flow, collision_factory, steps, use_native,
+                 half_storage=False):
     import lettuce_tpu as lt
 
     context = lt.Context(dtype=jnp.float32, use_native=use_native)
     flow = make_flow(context)
-    simulation = lt.Simulation(flow, collision_factory(flow), [])
+    simulation = lt.Simulation(flow, collision_factory(flow), [],
+                               half_storage=half_storage)
     # warm past one unrolled carry body (32 steps) so compilation stays
     # out of the timed run
     warm = max(40, steps // 10)
     simulation(warm)
     mlups = simulation(steps)
+    span = (simulation._step_dev_multi or simulation._step_multi
+            or (None, 1))[1]
     return {
         "name": name,
         "resolution": list(flow.resolution),
         "stencil": type(flow.stencil).__name__,
-        "path": simulation._step_kind,
+        "path": f"{simulation._step_kind} x{span}",
         "steps": steps,
         "mlups": round(mlups, 1),
     }
@@ -82,6 +86,24 @@ def main():
         ("decay2d_1024", lambda ctx: lt.DecayingTurbulence(
             ctx, [1024 // scale] * 2, 2000, 0.05, randseed=0,
             initialize_pressure=False, initialize_fneq=False), bgk),
+        ("couette2d_2048", lambda ctx: lt.CouetteFlow2D(
+            ctx, 2048 // scale, 10, 0.05), bgk),
+        ("poiseuille2d_2048_guo", lambda ctx: lt.PoiseuilleFlow2D(
+            ctx, 2048 // scale, 100, 0.05),
+         lambda flow: lt.BGKCollision(
+             tau=flow.units.relaxation_parameter_lu,
+             force=lt.Guo(flow, tau=flow.units.relaxation_parameter_lu,
+                          acceleration=flow.units.convert_acceleration_to_lu(
+                              flow.acceleration)))),
+        ("kbc3d_128_d3q27", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 128 // max(1, scale // 2), 1600, 0.05,
+            stencil=lt.D3Q27(), initialize_fneq=False),
+         lambda flow: lt.KBCCollision()),
+    ]
+    half_configs = [
+        ("tgv3d_256_d3q19_half", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
+            initialize_fneq=False), bgk),
     ]
 
     results = {
@@ -124,6 +146,27 @@ def main():
             except Exception as ex:  # keep the suite running
                 print(f"{name} native={use_native}: FAILED {ex}",
                       flush=True)
+
+    for name, make_flow, coll in half_configs:
+        if args.only and args.only not in name:
+            continue
+        if not on_accel:
+            continue
+        try:
+            probe_flow = make_flow(lt.Context(dtype=jnp.float32,
+                                              use_native=False))
+            cells = int(np.prod(probe_flow.resolution))
+            del probe_flow
+            steps = max(base_steps, min(3000, int(2e9 / cells)))
+            row = bench_config(name, make_flow, coll, steps,
+                               use_native=True, half_storage=True)
+            results["runs"] = [r for r in results["runs"]
+                               if not (r["name"] == row["name"]
+                                       and r["path"] == row["path"])]
+            results["runs"].append(row)
+            print(json.dumps(row), flush=True)
+        except Exception as ex:
+            print(f"{name} half: FAILED {ex}", flush=True)
 
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)

@@ -736,7 +736,9 @@ def _moments(read, q: int, e: np.ndarray, d: int, dev_storage: bool):
 
 
 def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
-                 bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage):
+                 bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage,
+                 ncm_slab_ref=None, feq_slab_ref=None,
+                 boundary_kinds=(), feq_boundary=None):
     """Temporally-blocked sweep: run ``n_sub`` collide-and-stream
     sub-steps entirely in VMEM, ping-ponging between two slab scratches.
 
@@ -748,12 +750,24 @@ def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
     region is garbage that is computed but never consumed — the z-roll
     carry logic stays within one S-row group, so garbage cannot leak
     across the valid boundary (group boundaries are multiples of S).
+
+    Mask-coded boundaries (bounce back / equilibrium) are pointwise
+    pre-streaming replacements, so they apply per sub-step on the slab
+    exactly as the single-step kernel applies them on its block; only
+    ``no_streaming_mask`` configurations are excluded (gated upstream).
     """
     q = e.shape[0]
     slabs = [slab, slab2]
     X_s = slab.shape[1]
     R_s = slab.shape[2]
     roll_masks = _RollMasks((X_s, R_s, LANES), S if is3d else R_s)
+    ncm = ncm_slab_ref[:] if ncm_slab_ref is not None else None
+
+    def read_feq_field(qi):
+        v = feq_slab_ref[qi]
+        if v.dtype != compute_dtype:
+            v = v.astype(compute_dtype)
+        return v
 
     for k in range(n_sub):
         cur = slabs[k % 2]
@@ -771,8 +785,24 @@ def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
         last = k == n_sub - 1
         m = k + 1
         for qi in range(q):
+            fpost = fpost_of(qi)
+            if ncm is not None:
+                fpost = jnp.where(ncm == 0, fpost, read(qi))
+            for kind, index in boundary_kinds:
+                if kind == "bounce_back":
+                    fpost = jnp.where(ncm == index,
+                                      read(int(opposite[qi])), fpost)
+                elif kind == "equilibrium_pu":
+                    val = feq_boundary[index - 1][qi]
+                    if dev_storage:
+                        val = val - float(w[qi])
+                    fpost = jnp.where(ncm == index,
+                                      jnp.full_like(fpost, val), fpost)
+                elif kind == "equilibrium_pu_field":
+                    fpost = jnp.where(ncm == index, read_feq_field(qi),
+                                      fpost)
             ez = int(e[qi, d - 1])
-            shifted = _roll_minor(fpost_of(qi), ez, S if is3d else R_s,
+            shifted = _roll_minor(fpost, ez, S if is3d else R_s,
                                   roll_masks)
             ex = int(e[qi, 0])
             ey = int(e[qi, 1]) if is3d else 0
@@ -866,10 +896,10 @@ def _stream_collide_kernel(
                  yhalo=yhalo, xhalo=n_sub)
     if has_ncm:
         _store_parts(ncm_parts, ncm_slab_ref, is3d, bx,
-                     by * S if is3d else None, yhalo=yhalo)
+                     by * S if is3d else None, yhalo=yhalo, xhalo=n_sub)
     if has_feq_field:
         _store_parts(feq_parts, feq_slab_ref, is3d, bx,
-                     by * S if is3d else None, yhalo=yhalo)
+                     by * S if is3d else None, yhalo=yhalo, xhalo=n_sub)
 
     compute_dtype = jnp.float32 if slab.dtype == jnp.bfloat16 else slab.dtype
 
@@ -880,9 +910,12 @@ def _stream_collide_kernel(
         spec = ("none",)
 
     if n_sub > 1:
-        assert not (has_ncm or has_nsm or has_feq_field)
+        assert not has_nsm
         _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
-                     bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage)
+                     bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage,
+                     ncm_slab_ref=ncm_slab_ref, feq_slab_ref=feq_slab_ref,
+                     boundary_kinds=tuple(boundary_kinds),
+                     feq_boundary=feq_boundary)
         return
 
     def read_feq_field(qi):
@@ -999,10 +1032,9 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                                    yhalo_rows=yhalo_rows)
 
     if n_sub > 1:
-        if (no_collision_mask is not None or no_streaming_mask is not None
-                or feq_field is not None):
+        if no_streaming_mask is not None:
             raise NotImplementedError(
-                "temporal blocking requires a periodic configuration")
+                "temporal blocking does not support no_streaming_mask")
         if bx % n_sub != 0:
             raise NotImplementedError(
                 f"x block {bx} must be a multiple of n_sub={n_sub}")
@@ -1037,7 +1069,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     inputs = [f_packed] * len(f_specs)
     if has_ncm:
         ncm_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=None,
-                                yhalo=yhalo)
+                                yhalo=yhalo, xhalo=n_sub)
         in_specs += list(ncm_specs)
         ncm_packed = no_collision_mask.astype(jnp.int32).reshape(
             merged_shape[1:])
@@ -1047,9 +1079,10 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
             w_b = jnp.asarray(w, jnp.float32).reshape(
                 (-1,) + (1,) * d)
             feq_field = feq_field - w_b
-        feq_packed = feq_field.astype(f.dtype).reshape(merged_shape)
+        feq_packed = jnp.asarray(feq_field).astype(f.dtype).reshape(
+            merged_shape)
         feq_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q,
-                                yhalo=yhalo)
+                                yhalo=yhalo, xhalo=n_sub)
         in_specs += list(feq_specs)
         inputs += [feq_packed] * len(feq_specs)
     if has_nsm:
@@ -1079,9 +1112,11 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     if n_sub > 1:
         scratch.append(pltpu.VMEM(slab_shape, f.dtype))  # ping-pong slab
     if has_ncm:
-        scratch.append(pltpu.VMEM((bx + 2, slab_rows, LANES), jnp.int32))
+        scratch.append(pltpu.VMEM((bx + 2 * n_sub, slab_rows, LANES),
+                                  jnp.int32))
     if has_feq_field:
-        scratch.append(pltpu.VMEM((q, bx + 2, slab_rows, LANES), f.dtype))
+        scratch.append(pltpu.VMEM((q, bx + 2 * n_sub, slab_rows, LANES),
+                                  f.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -1290,14 +1325,12 @@ def build_fused_multi_step(simulation: "Simulation",
     if simulation.context.platform != "tpu" and env is None:
         # interpret mode gains nothing and pays 'span' kernel traces
         return None
-    if (simulation.no_collision_mask is not None
-            or simulation.no_streaming_mask is not None):
-        return None
+    nsm = simulation.no_streaming_mask
+    if nsm is not None and bool(np.any(np.asarray(nsm))):
+        return None  # frozen-population pull has no per-sub-step form yet
     try:
         params = gate_fused_params(simulation)
     except NotImplementedError:
-        return None
-    if params.pop("feq_field", None) is not None:
         return None
     if dev_storage and params["collision_spec"][0] == "mrt":
         return None
@@ -1312,14 +1345,25 @@ def build_fused_multi_step(simulation: "Simulation",
         candidates = [int(n_sub)]
     elif dev_storage:
         # measured on v5e (benchmarks/sweep_kernel.py): bf16-dev peaks at
-        # n_sub=2 (7853 MLUPS vs 6098 at n_sub=4 — the doubled halo depth
-        # makes deeper blocking compute-bound)
+        # n_sub=2 (8500 MLUPS with the shallow 8-row halo; deeper blocking
+        # is compute-bound)
         candidates = [2]
     else:
         # f32 peaks at n_sub=4 (8644 MLUPS vs 5693 at n_sub=2)
         candidates = [4, 2]
+
+    # bf16's tile-derived 16-row halo costs ~8% throughput; the 8-row halo
+    # is sub-tile for bf16 but measured faster (8500 vs 7867 MLUPS) and
+    # bitwise-verified — use it whenever the depth constraints allow
+    yhalo_rows = None
+    if dev_storage:
+        S_minor = shape[-1] // LANES
+        if YHALO % max(1, S_minor) == 0 and all(
+                ns * S_minor <= YHALO for ns in candidates if ns > 1):
+            yhalo_rows = YHALO
     try:
-        bx, by, yhalo, S = plan_blocks(shape, q, dtype)
+        bx, by, yhalo, S = plan_blocks(shape, q, dtype,
+                                       yhalo_rows=yhalo_rows)
     except NotImplementedError:
         return None
     for ns in candidates:
@@ -1330,9 +1374,12 @@ def build_fused_multi_step(simulation: "Simulation",
         if len(shape) == 3 and ns * S > yhalo:
             continue
 
+        ncm = simulation.no_collision_mask
+
         def step(f, _ns=ns):
             return fused_stream_collide(
-                f, dev_storage=dev_storage, n_sub=_ns, **params)
+                f, no_collision_mask=ncm, dev_storage=dev_storage,
+                n_sub=_ns, yhalo_rows=yhalo_rows, **params)
 
         return step, ns
     return None

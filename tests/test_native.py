@@ -387,3 +387,58 @@ def test_temporal_blocking_matches_single_step(monkeypatch):
 
     np.testing.assert_array_equal(np.asarray(flow_m.f),
                                   np.asarray(flow_s.f))
+
+
+def test_temporal_blocking_with_boundaries(monkeypatch):
+    """Mask-coded boundaries (bounce back + moving equilibrium wall) apply
+    per sub-step inside the temporally-blocked kernel; result matches the
+    single-step path."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.CouetteFlow2D(ctx, [16, 128], reynolds_number=10,
+                                mach_number=0.05)
+
+    flow_m = make()
+    sim_m = lt.Simulation(flow_m, lt.BGKCollision(
+        flow_m.units.relaxation_parameter_lu), [])
+    assert sim_m._step_multi is not None
+    sim_m(6)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_s = make()
+    sim_s = lt.Simulation(flow_s, lt.BGKCollision(
+        flow_s.units.relaxation_parameter_lu), [])
+    sim_s(6)
+
+    np.testing.assert_array_equal(np.asarray(flow_m.f),
+                                  np.asarray(flow_s.f))
+
+
+def test_temporal_blocking_half_storage(monkeypatch):
+    """bf16 deviation storage + temporal blocking (shallow 8-row halo)
+    matches the single-step bf16-dev path bitwise."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [16, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_m = make()
+    sim_m = lt.Simulation(flow_m, lt.BGKCollision(
+        flow_m.units.relaxation_parameter_lu), [], half_storage=True)
+    assert sim_m._step_dev_multi is not None
+    sim_m(6)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_s = make()
+    sim_s = lt.Simulation(flow_s, lt.BGKCollision(
+        flow_s.units.relaxation_parameter_lu), [], half_storage=True)
+    assert sim_s._step_dev_multi is None
+    sim_s(6)
+
+    np.testing.assert_array_equal(np.asarray(flow_m.f),
+                                  np.asarray(flow_s.f))
