@@ -32,6 +32,8 @@ from .reporters import (Observable, MaximumVelocity,
                         mean_analytic_error)
 from .parallel import DomainDecomposition
 from .utils.datautils import HDF5Reporter, LettuceDataset
+from .utils.checkpoint import (save_state, restore_state,
+                               CheckpointReporter)
 from .utils import (get_subclasses, LettuceException, LettuceWarning,
                     InefficientCodeWarning, ExperimentalWarning,
                     jax_gradient, torch_gradient, grid_fine_to_coarse,

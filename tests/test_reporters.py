@@ -236,3 +236,51 @@ def test_dataset_loader_batches(tmp_path):
     np.testing.assert_array_equal(batches[0][1][0],
                                   np.asarray(ds.fs["f"][int(idx_b[0]) + 1]))
     ds.close()
+
+
+def test_orbax_checkpoint_sharded_roundtrip(tmp_path):
+    """Sharded state saves per shard and restores INTO the sharding,
+    bitwise, including the step counter."""
+    ctx = lt.Context(dtype=jnp.float64)
+    flow = lt.TaylorGreenVortex(ctx, 32, 100, 0.05, stencil=lt.D2Q9())
+    decomp = lt.DomainDecomposition(mesh_shape=(8,))
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [], decomposition=decomp)
+    sim(4)
+    ref_f = np.asarray(flow.f)
+    lt.save_state(flow, str(tmp_path))
+
+    flow2 = lt.TaylorGreenVortex(ctx, 32, 100, 0.05, stencil=lt.D2Q9())
+    sim2 = lt.Simulation(flow2, lt.BGKCollision(
+        flow2.units.relaxation_parameter_lu), [], decomposition=decomp)
+    lt.restore_state(flow2, str(tmp_path))
+    assert flow2.i == 4
+    assert flow2.f.sharding == flow.f.sharding
+    np.testing.assert_array_equal(np.asarray(flow2.f), ref_f)
+
+    # resuming produces the identical trajectory
+    sim(3)
+    sim2(3)
+    np.testing.assert_array_equal(np.asarray(flow2.f), np.asarray(flow.f))
+
+
+def test_checkpoint_reporter_rotation(tmp_path):
+    """CheckpointReporter snapshots every interval and keeps the newest k."""
+    ctx = lt.Context(dtype=jnp.float32)
+    flow = lt.TaylorGreenVortex(ctx, 8, 100, 0.05, stencil=lt.D2Q9(),
+                                initialize_fneq=False)
+    rep = lt.CheckpointReporter(str(tmp_path), interval=2, keep=2,
+                                async_save=True)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [rep])
+    sim(8)
+    rep.wait()
+    snaps = sorted(p for p in os.listdir(tmp_path) if p.startswith("step_"))
+    assert snaps == ["step_000000006", "step_000000008"]
+    assert rep.latest() == "step_000000008"
+
+    flow2 = lt.TaylorGreenVortex(ctx, 8, 100, 0.05, stencil=lt.D2Q9(),
+                                 initialize_fneq=False)
+    lt.restore_state(flow2, str(tmp_path), name=rep.latest())
+    assert flow2.i == 8
+    np.testing.assert_array_equal(np.asarray(flow2.f), np.asarray(flow.f))
