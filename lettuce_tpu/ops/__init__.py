@@ -5,7 +5,8 @@ from .collision import (Collision, BGKCollision, NoCollision, TRTCollision,
                         MRTCollision, RegularizedCollision, KBCCollision,
                         KBCCollision2D, KBCCollision3D, SmagorinskyCollision)
 from .boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
-                       AntiBounceBackOutlet, EquilibriumOutletP)
+                       AntiBounceBackOutlet, EquilibriumOutletP,
+                       SpongeOutlet)
 from .force import Force, Guo, ShanChen
 from .streaming import stream
 
@@ -16,5 +17,6 @@ __all__ = [
     "MRTCollision", "RegularizedCollision", "KBCCollision",
     "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision",
     "BounceBackBoundary", "EquilibriumBoundaryPU", "AntiBounceBackOutlet",
-    "EquilibriumOutletP", "Force", "Guo", "ShanChen", "stream",
+    "EquilibriumOutletP", "SpongeOutlet", "Force", "Guo", "ShanChen",
+    "stream",
 ]

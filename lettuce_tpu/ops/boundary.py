@@ -22,7 +22,7 @@ import numpy as np
 from ..flow import Boundary, Flow
 
 __all__ = ["BounceBackBoundary", "EquilibriumBoundaryPU",
-           "AntiBounceBackOutlet", "EquilibriumOutletP",
+           "AntiBounceBackOutlet", "EquilibriumOutletP", "SpongeOutlet",
            "combined_equilibrium_field"]
 
 
@@ -241,4 +241,63 @@ class EquilibriumOutletP(AntiBounceBackOutlet):
     def make_no_collision_mask(self, shape: List[int], context: "Context"):
         mask = np.zeros(tuple(shape), dtype=bool)
         mask[tuple(self.index)] = True
+        return context.convert_to_tensor(mask)
+
+
+class SpongeOutlet(AntiBounceBackOutlet):
+    """Anti-bounce-back outlet with an absorbing sponge layer.
+
+    NEW capability (no reference counterpart): the reference's bare
+    AntiBounceBackOutlet reflects startup acoustics and can diverge on
+    impulsively-started flows (verified against the reference itself in
+    round 1). This subclass keeps the same face update and additionally
+    relaxes the ``depth`` planes upstream of the face toward
+    feq(rho0, u_local) with a quadratically ramped strength — pressure
+    waves entering the layer are damped instead of reflected, while the
+    velocity field passes through.
+
+    Pointwise (roll/ramp) formulation, so it shards exactly like the base
+    outlet: keep the face axis unsharded.
+    """
+
+    def __init__(self, direction: List[int], flow: "Flow",
+                 depth: int = 8, strength: float = 0.3, rho0: float = 1.0):
+        super().__init__(direction, flow)
+        self.depth = int(depth)
+        self.strength = float(strength)
+        self.rho0 = float(rho0)
+        # quadratic ramp 0 -> strength over the sponge depth, broadcast
+        # over the full grid along the face axis
+        n = flow.resolution[self.face_axis]
+        pos = np.arange(n, dtype=np.float64)
+        dist = (n - 1 - pos) if self.face_sign == 1 else pos
+        ramp = np.clip(1.0 - dist / max(1, self.depth), 0.0, 1.0) ** 2
+        shape = [1] * len(flow.resolution)
+        shape[self.face_axis] = n
+        self._sigma = flow.context.convert_to_tensor(
+            self.strength * ramp.reshape(shape))
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        # sponge blend everywhere (selected by the mask), plus the
+        # anti-bounce-back update on the face itself
+        rho_w = self.rho0 * jnp.ones_like(flow.rho())
+        feq = flow.equilibrium(flow, rho_w, flow.u())
+        sponged = flow.f + self._sigma * (feq - flow.f)
+        abb = super().__call__(flow)
+        # the face plane uses the ABB update; sponge planes use the blend
+        face_sel = jnp.zeros(flow.f.shape[1:], dtype=bool)
+        idx = [slice(None)] * (flow.f.ndim - 1)
+        idx[self.face_axis] = -1 if self.face_sign == 1 else 0
+        face_sel = face_sel.at[tuple(idx)].set(True)
+        return jnp.where(face_sel, abb, sponged)
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"):
+        mask = np.zeros(tuple(shape), dtype=bool)
+        n = shape[self.face_axis]
+        sel = [slice(None)] * len(shape)
+        if self.face_sign == 1:
+            sel[self.face_axis] = slice(n - 1 - self.depth, n)
+        else:
+            sel[self.face_axis] = slice(0, self.depth + 1)
+        mask[tuple(sel)] = True
         return context.convert_to_tensor(mask)

@@ -129,3 +129,34 @@ def test_couette_converges_to_linear_profile(fix_context):
     interior = profile[1:-1]
     assert np.all(np.diff(interior) > -1e-6)
     assert profile[-2] > 0.5 * profile[-1] > 0.0
+
+
+def test_sponge_outlet_damps_startup_acoustics(fix_context):
+    """SpongeOutlet (new capability, no reference counterpart): an
+    impulsively-started uniform flow fires a pressure transient at the
+    outlet; with the sponge layer the density overshoot decays markedly
+    faster than with the bare anti-bounce-back outlet, and both ends stay
+    finite."""
+    def run(outlet_cls, **kw):
+        class FlowWithOutlet(lt.Obstacle):
+            @property
+            def boundaries(self):
+                inlet, _, bb = lt.Obstacle.boundaries.fget(self)
+                return [inlet, outlet_cls([1, 0], self, **kw), bb]
+
+        flow = FlowWithOutlet(fix_context, [48, 16], reynolds_number=80,
+                              mach_number=0.1, domain_length_x=4.8)
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [])
+        peaks = []
+        for _ in range(6):
+            sim(20)
+            rho = np.asarray(flow.rho())
+            peaks.append(float(np.abs(rho - 1.0).max()))
+        return peaks
+
+    peaks_abb = run(lt.AntiBounceBackOutlet)
+    peaks_sponge = run(lt.SpongeOutlet, depth=8, strength=0.3)
+    assert np.all(np.isfinite(peaks_sponge))
+    # after the transient reaches the outlet, the sponge run is quieter
+    assert peaks_sponge[-1] < peaks_abb[-1]
