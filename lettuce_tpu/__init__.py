@@ -27,7 +27,8 @@ from .ops import *  # noqa: F401,F403
 from .models import *  # noqa: F401,F403
 from .reporters import (Observable, MaximumVelocity,
                         IncompressibleKineticEnergy, Enstrophy,
-                        EnergySpectrum, Mass, ObservableReporter,
+                        EnergySpectrum, Mass, DragCoefficient,
+                        ObservableReporter,
                         ErrorReporter, VTKReporter, write_image,
                         mean_analytic_error)
 from .parallel import DomainDecomposition

@@ -25,7 +25,8 @@ from .simulation import Reporter
 from .utils.utility import jax_gradient
 
 __all__ = ["Observable", "MaximumVelocity", "IncompressibleKineticEnergy",
-           "Enstrophy", "EnergySpectrum", "Mass", "ObservableReporter",
+           "Enstrophy", "EnergySpectrum", "Mass", "DragCoefficient",
+           "ObservableReporter",
            "ErrorReporter", "VTKReporter", "write_image",
            "mean_analytic_error"]
 
@@ -111,6 +112,43 @@ class EnergySpectrum(Observable):
         ekin = jnp.sum(0.5 * (uh.imag ** 2 + uh.real ** 2), axis=0)
         ek = ekin[..., None] * self.wavemask.astype(ekin.dtype)
         return ek.sum(axis=tuple(range(d)))
+
+
+class DragCoefficient(Observable):
+    """Drag and lift coefficients on a solid (bounce-back) mask via the
+    momentum-exchange method (Ladd 1994): every fluid-to-solid link
+    contributes ``e_q (f_q + f_qbar)`` to the force on the body.
+
+    NEW capability (the reference has no force observable). Returns the
+    ``[d]`` coefficient vector ``2 F / (rho0 u_char^2 A)`` — component 0
+    is C_D, the rest are lift coefficients. ``area_lu`` defaults to
+    ``characteristic_length_lu^(d-1)`` (the diameter in 2D). Link masks
+    are pointwise rolls of the static solid mask, so the observable works
+    under ``jit``, in ``rollout()``, and on sharded state.
+    """
+
+    def __init__(self, flow: "Flow", solid_mask, area_lu=None):
+        super().__init__(flow)
+        d = flow.stencil.d
+        if area_lu is None:
+            area_lu = float(flow.units.characteristic_length_lu) ** (d - 1)
+        self.area_lu = float(area_lu)
+        solid = np.asarray(solid_mask, dtype=bool)
+        e = np.asarray(flow.stencil.e)
+        links = [np.roll(solid, tuple(-e[qi]), axis=tuple(range(d)))
+                 & ~solid for qi in range(flow.stencil.q)]
+        self.link_masks = jnp.asarray(np.stack(links))
+        self._e = jnp.asarray(e, dtype=flow.context.dtype)
+        self._opposite = np.asarray(flow.stencil.opposite)
+
+    def __call__(self, f: Optional[jax.Array] = None):
+        f = self.flow.f if f is None else f
+        exchange = (f + f[self._opposite]) * self.link_masks.astype(f.dtype)
+        per_q = exchange.reshape(exchange.shape[0], -1).sum(axis=1)
+        force_lu = per_q @ self._e.astype(per_q.dtype)  # [d]
+        u_char = self.flow.units.characteristic_velocity_lu
+        rho0 = self.flow.units.characteristic_density_lu
+        return 2.0 * force_lu / (rho0 * u_char ** 2 * self.area_lu)
 
 
 class Mass(Observable):

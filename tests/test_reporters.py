@@ -284,3 +284,22 @@ def test_checkpoint_reporter_rotation(tmp_path):
     lt.restore_state(flow2, str(tmp_path), name=rep.latest())
     assert flow2.i == 8
     np.testing.assert_array_equal(np.asarray(flow2.f), np.asarray(flow.f))
+
+
+def test_drag_coefficient_cylinder():
+    """Momentum-exchange drag on an impulsively started cylinder: positive
+    streamwise drag, near-zero lift by symmetry, finite under jit/rollout."""
+    ctx = lt.Context(dtype=jnp.float64)
+    flow = lt.Obstacle(ctx, [48, 32], reynolds_number=20,
+                       mach_number=0.05, domain_length_x=4.8)
+    x, y = [np.asarray(g) for g in flow.grid]
+    flow.mask = (x - 1.6) ** 2 + (y - 1.6) ** 2 < 0.25 ** 2
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [])
+    drag = lt.DragCoefficient(flow, flow.mask, area_lu=0.5 * 10)
+    records = sim.rollout(120, observables=[
+        lambda f: drag(f)[0], lambda f: drag(f)[1]], interval=40)
+    cd, cl = np.asarray(records[-1])
+    assert np.isfinite(cd) and np.isfinite(cl)
+    assert cd > 0.5, f"drag {cd} not downstream-positive"
+    assert abs(cl) < 0.2 * cd, f"lift {cl} breaks symmetry vs drag {cd}"
