@@ -201,7 +201,9 @@ class KBCCollision(Collision):
         else:
             raise NotImplementedError(
                 "KBC Collision is only implemented for 2d and 3d!")
-        self._cache = (d, jnp.asarray(M, dtype=flow.context.dtype))
+        # cache the HOST table: a jnp constant created during one trace is
+        # a tracer and must not leak into later traces
+        self._cache = (d, M)
         return self._cache
 
     def _moment_transform(self, M, d, f):
@@ -253,7 +255,8 @@ class KBCCollision(Collision):
         return jnp.stack([s0, s1, s2, s1, s2, s5, -s5, s5, -s5])
 
     def __call__(self, flow: "Flow") -> jax.Array:
-        d, M = self._moment_matrix(flow)
+        d, M_np = self._moment_matrix(flow)
+        M = jnp.asarray(M_np, dtype=flow.context.dtype)
         tau = self.tau if self.tau is not None \
             else flow.units.relaxation_parameter_lu
         beta = 1.0 / (2 * tau)

@@ -102,3 +102,19 @@ def test_collision_differentiable(fix_context):
     g = jax.grad(loss)(flow.f)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_kbc_reusable_across_traces():
+    """The KBC moment-matrix cache must be a host constant: a jnp value
+    created inside one jit trace is a tracer and leaks into the next trace
+    (regression: UnexpectedTracerError on the second traced run)."""
+    import jax
+    ctx = lt.Context(dtype=jnp.float32)
+    flow = lt.TaylorGreenVortex(ctx, [8, 8, 8], 100, 0.05,
+                                stencil=lt.D3Q27(), initialize_fneq=False)
+    collision = lt.KBCCollision()
+    sim = lt.Simulation(flow, collision, [])
+    f1 = jax.jit(sim._step)(flow.f)                       # trace 1
+    f2 = jax.jit(lambda f: sim._step(sim._step(f)))(flow.f)  # trace 2
+    assert np.all(np.isfinite(np.asarray(f1)))
+    assert np.all(np.isfinite(np.asarray(f2)))
