@@ -7,6 +7,7 @@ from .doublyshear import DoublyPeriodicShear2D
 from .decayingturbulence import DecayingTurbulence
 from .obstacle import Obstacle, Obstacle2D, Obstacle3D
 from .liddrivencavity import Cavity2D
+from .mixinglayer import MixingLayer
 
 from ..stencil import D2Q9, D3Q19
 
@@ -18,9 +19,13 @@ flow_by_name = {
     'shear2d': (DoublyPeriodicShear2D, D2Q9),
     'couette2d': (CouetteFlow2D, D2Q9),
     'decay2d': (DecayingTurbulence, D2Q9),
+    # beyond the reference registry: the reference defines this flow only
+    # ad hoc in examples/advanced_flows/MixingLayer.ipynb
+    'mixing2d': (MixingLayer, D2Q9),
 }
 
 __all__ = ["ExtFlow", "TaylorGreenVortex", "TaylorGreenVortex2D",
            "TaylorGreenVortex3D", "CouetteFlow2D", "PoiseuilleFlow2D",
            "DoublyPeriodicShear2D", "DecayingTurbulence", "Obstacle",
-           "Obstacle2D", "Obstacle3D", "Cavity2D", "flow_by_name"]
+           "Obstacle2D", "Obstacle3D", "Cavity2D", "MixingLayer",
+           "flow_by_name"]
