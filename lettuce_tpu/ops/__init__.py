@@ -6,7 +6,7 @@ from .collision import (Collision, BGKCollision, NoCollision, TRTCollision,
                         KBCCollision2D, KBCCollision3D, SmagorinskyCollision)
 from .boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
                        AntiBounceBackOutlet, EquilibriumOutletP,
-                       SpongeOutlet)
+                       SpongeOutlet, PeriodicPressureBC)
 from .force import Force, Guo, ShanChen
 from .streaming import stream
 
@@ -17,6 +17,7 @@ __all__ = [
     "MRTCollision", "RegularizedCollision", "KBCCollision",
     "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision",
     "BounceBackBoundary", "EquilibriumBoundaryPU", "AntiBounceBackOutlet",
-    "EquilibriumOutletP", "SpongeOutlet", "Force", "Guo", "ShanChen",
+    "EquilibriumOutletP", "SpongeOutlet", "PeriodicPressureBC",
+    "Force", "Guo", "ShanChen",
     "stream",
 ]

@@ -23,7 +23,7 @@ from ..flow import Boundary, Flow
 
 __all__ = ["BounceBackBoundary", "EquilibriumBoundaryPU",
            "AntiBounceBackOutlet", "EquilibriumOutletP", "SpongeOutlet",
-           "combined_equilibrium_field"]
+           "PeriodicPressureBC", "combined_equilibrium_field"]
 
 
 def combined_equilibrium_field(flow, boundaries, no_collision_mask):
@@ -242,6 +242,68 @@ class EquilibriumOutletP(AntiBounceBackOutlet):
         mask = np.zeros(tuple(shape), dtype=bool)
         mask[tuple(self.index)] = True
         return context.convert_to_tensor(mask)
+
+
+class PeriodicPressureBC(Boundary):
+    """Pressure-difference driving across a periodic axis.
+
+    Promotes the reference's porous-medium notebook boundary
+    (``/root/reference/examples/advanced_flows/PorousMedium.ipynb``,
+    after Evati's high-performance porous-media scheme) to a first-class,
+    stencil-generic component: populations entering through the low face
+    of ``axis`` gain ``+w_q * delta_rho_lu`` and populations entering
+    through the high face lose it, which imposes a body-force-free
+    pressure drop ``delta_rho_lu * cs^2`` over the (periodic) domain
+    length. The notebook hard-codes the D2Q9 direction indices and skips
+    collision on the face nodes (its own TODO); here the face nodes
+    collide normally and the jump is added on top, so the scheme reduces
+    to plain periodic flow at ``delta_rho_lu = 0``.
+
+    Pass the collision operator that drives the simulation — the face
+    replacement is ``collision(flow) + jump``. Nodes in ``exclude_mask``
+    (e.g. solid walls crossing the faces) are left to their own boundary:
+    later-sorted boundaries win overlapping mask nodes, so without the
+    exclusion this boundary would turn wall corners into driven fluid.
+    """
+
+    def __init__(self, flow: "Flow", delta_rho_lu: float,
+                 collision: "Collision", axis: int = 0,
+                 exclude_mask=None):
+        self.collision = collision
+        self.axis = int(axis)
+        self.delta_rho_lu = float(delta_rho_lu)
+        self.exclude_mask = (None if exclude_mask is None
+                             else np.asarray(exclude_mask, dtype=bool))
+        e = np.asarray(flow.stencil.e)
+        w = np.asarray(flow.stencil.w)
+        n = flow.resolution[self.axis]
+        # jump[q, x]: +w_q drho on the low face for incoming (+axis)
+        # populations, -w_q drho on the high face for (-axis) ones
+        jump = np.zeros((flow.stencil.q, n))
+        jump[e[:, self.axis] > 0, 0] = w[e[:, self.axis] > 0]
+        jump[e[:, self.axis] < 0, -1] = -w[e[:, self.axis] < 0]
+        shape = [flow.stencil.q] + [1] * len(flow.resolution)
+        shape[self.axis + 1] = n
+        self._jump = flow.context.convert_to_tensor(
+            self.delta_rho_lu * jump.reshape(shape))
+
+    def __call__(self, flow: "Flow") -> jax.Array:
+        return self.collision(flow) + self._jump
+
+    def make_no_collision_mask(self, shape: List[int], context: "Context"):
+        mask = np.zeros(tuple(shape), dtype=bool)
+        sel = [slice(None)] * len(shape)
+        sel[self.axis] = 0
+        mask[tuple(sel)] = True
+        sel[self.axis] = -1
+        mask[tuple(sel)] = True
+        if self.exclude_mask is not None:
+            mask &= ~self.exclude_mask
+        return context.convert_to_tensor(mask)
+
+    def make_no_streaming_mask(self, shape: List[int], context: "Context"
+                               ) -> Optional[jax.Array]:
+        return None
 
 
 class SpongeOutlet(AntiBounceBackOutlet):

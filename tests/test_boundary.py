@@ -160,3 +160,43 @@ def test_sponge_outlet_damps_startup_acoustics(fix_context):
     assert np.all(np.isfinite(peaks_sponge))
     # after the transient reaches the outlet, the sponge run is quieter
     assert peaks_sponge[-1] < peaks_abb[-1]
+
+
+def test_periodic_pressure_bc_drives_poiseuille(fix_context):
+    """A pressure difference over the periodic axis drives the same
+    parabolic channel profile as the equivalent body force: the
+    imposed gradient cs^2 * drho / nx must equal rho * a."""
+    flow = lt.PoiseuilleFlow2D(fix_context, resolution=16,
+                               reynolds_number=1, mach_number=0.02,
+                               initialize_with_zeros=True)
+    a_lu = float(flow.units.convert_acceleration_to_lu(
+        flow.acceleration)[0])
+    nx = flow.resolution[0]
+    cs = float(flow.stencil.cs)
+    delta_rho = a_lu * nx / cs ** 2
+
+    plates = (np.asarray(flow.grid[1]) <= 0) | (np.asarray(flow.grid[1]) >= 1)
+    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+
+    class PressureDriven(type(flow)):
+        pass
+
+    flow.__class__ = PressureDriven
+    base_boundaries = lt.PoiseuilleFlow2D.boundaries.fget(flow)
+    ppbc = lt.PeriodicPressureBC(flow, delta_rho, collision,
+                                 exclude_mask=plates)
+    PressureDriven.boundaries = property(
+        lambda self: base_boundaries + [ppbc])
+
+    simulation = lt.Simulation(flow, collision, [])
+    simulation(800)
+
+    u_sim = np.asarray(flow.units.convert_velocity_to_pu(flow.u()))
+    _, u_ref = flow.analytic_solution()
+    u_ref = np.asarray(u_ref)
+    # compare away from the driven faces and the walls
+    mid = slice(4, -4)
+    err = (np.abs(u_sim[0][mid, 1:-1] - u_ref[0][mid, 1:-1]).max()
+           / np.abs(u_ref[0]).max())
+    assert err < 0.08, f"profile error {err}"
+    assert np.all(np.isfinite(u_sim))
