@@ -129,13 +129,14 @@ def main():
             continue
         for use_native in ((True, False) if on_accel else (True,)):
             try:
-                # aim for >= ~2e9 site updates per timed run so dispatch
-                # overhead vanishes on small grids
+                # aim for >= ~8e9 site updates per timed run: the axon
+                # tunnel's dispatch + one-element-fetch overhead is
+                # ~0.1 s, so sub-second timed runs under-report by 20%+
                 probe_flow = make_flow(lt.Context(dtype=jnp.float32,
                                                   use_native=False))
                 cells = int(np.prod(probe_flow.resolution))
                 del probe_flow
-                steps = max(base_steps, min(3000, int(2e9 / cells))) \
+                steps = max(base_steps, min(4000, int(8e9 / cells))) \
                     if on_accel else base_steps
                 row = bench_config(name, make_flow, coll, steps, use_native)
                 results["runs"] = [r for r in results["runs"]
@@ -157,7 +158,7 @@ def main():
                                               use_native=False))
             cells = int(np.prod(probe_flow.resolution))
             del probe_flow
-            steps = max(base_steps, min(3000, int(2e9 / cells)))
+            steps = max(base_steps, min(4000, int(8e9 / cells)))
             row = bench_config(name, make_flow, coll, steps,
                                use_native=True, half_storage=True)
             results["runs"] = [r for r in results["runs"]

@@ -211,6 +211,12 @@ class AntiBounceBackOutlet(Boundary):
         mask[tuple(self.index)] = True
         return context.convert_to_tensor(mask)
 
+    def native_available(self) -> bool:
+        # runs WITH the fused kernel via the exact plane fix-up
+        # (ops/pallas/hybrid_outlets.py) — the reference's native path
+        # emits nothing for outlets, forcing the slow python step
+        return type(self) in (AntiBounceBackOutlet, EquilibriumOutletP)
+
 
 class EquilibriumOutletP(AntiBounceBackOutlet):
     """Constant-pressure equilibrium outlet (reference

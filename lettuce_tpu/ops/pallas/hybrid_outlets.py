@@ -1,0 +1,127 @@
+"""Exact jnp fix-up that lets outlet boundaries ride the fused kernel.
+
+The outlets (``AntiBounceBackOutlet``, ``EquilibriumOutletP``) have no
+kernel fragment — in the reference they have no native path either
+(``cuda_native`` emits nothing for them), so flows like the Obstacle
+family dropped to the slow jnp step whenever an outlet was present.
+
+Observation: an outlet only changes f_post on the handful of grid planes
+it owns, so the fused kernel can run the whole domain treating those
+nodes as frozen (``gate_fused_params`` simply emits no fragment for them
+— unmatched ``no_collision_mask`` codes default to identity f_post in
+the kernel), and a cheap jnp pass afterwards recomputes the EXACT step
+result on the affected planes only:
+
+  * sources: the planes owned by the outlet (f_post there is the outlet
+    replacement, not identity),
+  * targets: those planes plus their axis neighbours (pull distance 1),
+    including the periodic wrap onto the opposite domain edge.
+
+The fix-up extracts a contiguous *periodic window* around the face
+(owned planes +- 2), replays the step composition of
+``Simulation._step_jnp_body`` on that window — collision, every
+boundary, streaming with the frozen-population mask — and writes the
+target planes back over the kernel output. Rolls inside the window are
+correct wherever they are consumed: the owned planes sit >= 2 planes
+from the window edge, targets >= 1. Cost per step is O(q * window *
+transverse), a few planes against the kernel's full-grid pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..streaming import stream
+
+__all__ = ["build_hybrid_fixup"]
+
+
+def _take_window(arr, axis: int, lo: int, width: int, n: int):
+    """Contiguous periodic window ``[lo, lo + width)`` (mod n) along
+    ``axis`` — at most two slices, no gather."""
+    lo %= n
+    sel = [slice(None)] * arr.ndim
+    if lo + width <= n:
+        sel[axis] = slice(lo, lo + width)
+        return arr[tuple(sel)]
+    sel[axis] = slice(lo, n)
+    first = arr[tuple(sel)]
+    sel[axis] = slice(0, lo + width - n)
+    return jnp.concatenate([first, arr[tuple(sel)]], axis=axis)
+
+
+def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
+    """Write ``values`` over the periodic window ``[lo, lo+width)``."""
+    lo %= n
+    sel = [slice(None)] * arr.ndim
+    if lo + width <= n:
+        sel[axis] = slice(lo, lo + width)
+        return arr.at[tuple(sel)].set(values)
+    vsel = [slice(None)] * arr.ndim
+    sel[axis] = slice(lo, n)
+    vsel[axis] = slice(0, n - lo)
+    arr = arr.at[tuple(sel)].set(values[tuple(vsel)])
+    sel[axis] = slice(0, lo + width - n)
+    vsel[axis] = slice(n - lo, width)
+    return arr.at[tuple(sel)].set(values[tuple(vsel)])
+
+
+def build_hybrid_fixup(simulation: "Simulation",
+                       hybrid: Tuple[Tuple[int, "Boundary"], ...]):
+    """Build ``fixup(f_pre, f_kernel) -> f`` for a simulation whose
+    kernel step froze the given outlet boundaries.
+
+    Raises NotImplementedError when the configuration falls outside the
+    windowed formulation (multiple outlets, non-contiguous owned planes,
+    or a window spanning the whole axis) — the caller then falls back to
+    the jnp step.
+    """
+    if len(hybrid) != 1:
+        raise NotImplementedError("hybrid fix-up supports one outlet")
+    index_h, outlet = hybrid[0]
+    flow = simulation.flow
+    e = np.asarray(flow.stencil.e)
+    axis = outlet.face_axis          # grid axis of the outlet face
+    n = int(flow.resolution[axis])
+
+    ncm_np = np.asarray(simulation.no_collision_mask)
+    owned = np.nonzero(ncm_np == index_h)[axis]
+    if owned.size == 0:
+        raise NotImplementedError("outlet owns no nodes (mask overlap)")
+    pos = np.unique(owned)
+    lo_p, hi_p = int(pos.min()), int(pos.max())
+    if hi_p - lo_p + 1 != len(pos):
+        raise NotImplementedError("outlet planes are not contiguous")
+    win_lo = lo_p - 2
+    width = (hi_p - lo_p + 1) + 4
+    if width >= n:
+        raise NotImplementedError("fix-up window spans the whole axis")
+
+    ncm_win = jnp.asarray(_take_window(
+        simulation.no_collision_mask, axis, win_lo, width, n))
+    nsm_win = None
+    if simulation.no_streaming_mask is not None:
+        nsm_win = _take_window(simulation.no_streaming_mask, axis + 1,
+                               win_lo, width, n)
+
+    boundaries: List = list(simulation.boundaries[1:])
+    collision = simulation.collision
+
+    def fixup(f_pre: jax.Array, f_kernel: jax.Array) -> jax.Array:
+        f_win = _take_window(f_pre, axis + 1, win_lo, width, n)
+        view = flow.view(f_win)
+        fpost = jnp.where(ncm_win == 0, collision(view), f_win)
+        for i, boundary in enumerate(boundaries, start=1):
+            fpost = jnp.where(ncm_win == i, boundary(view), fpost)
+        new_win = stream(fpost, e, nsm_win)
+        # targets = owned planes +- 1 -> window-local [1, width-1)
+        tsel = [slice(None)] * f_pre.ndim
+        tsel[axis + 1] = slice(1, width - 1)
+        return _set_window(f_kernel, new_win[tuple(tsel)], axis + 1,
+                           win_lo + 1, width - 2, n)
+
+    return fixup

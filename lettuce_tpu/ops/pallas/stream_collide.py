@@ -1132,7 +1132,8 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     return out.reshape(f.shape)
 
 
-def gate_fused_params(simulation: "Simulation") -> dict:
+def gate_fused_params(simulation: "Simulation",
+                      allow_hybrid: bool = False) -> dict:
     """Capability gating + static kernel parameters for a Simulation.
 
     Raises NotImplementedError when any component cannot run inside the
@@ -1140,12 +1141,20 @@ def gate_fused_params(simulation: "Simulation") -> dict:
     ``_simulation.py:100-115``). Returns the keyword arguments shared by
     the single-device and sharded fused steps (everything except the mask
     arrays, which the sharded path supplies per shard).
+
+    With ``allow_hybrid`` (single-device build only), outlet boundaries
+    are accepted and returned under ``"hybrid_boundaries"`` — the kernel
+    treats their nodes as frozen (no boundary fragment -> identity
+    f_post) and the caller patches the few affected planes with an exact
+    jnp fix-up afterwards (see ``hybrid_outlets.build_hybrid_fixup``).
     """
     from ..collision import (BGKCollision, NoCollision, TRTCollision,
                              RegularizedCollision, SmagorinskyCollision,
                              KBCCollision, MRTCollision)
     from ..equilibrium import QuadraticEquilibrium
-    from ..boundary import BounceBackBoundary, EquilibriumBoundaryPU
+    from ..boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
+                            AntiBounceBackOutlet, EquilibriumOutletP,
+                            SpongeOutlet)
 
     flow = simulation.flow
     stencil = flow.stencil
@@ -1214,8 +1223,16 @@ def gate_fused_params(simulation: "Simulation") -> dict:
 
     boundary_kinds: List[Tuple[str, int]] = []
     feq_b = []
+    hybrid: List[Tuple[int, "Boundary"]] = []
     for index, boundary in enumerate(simulation.boundaries[1:], start=1):
-        if isinstance(boundary, BounceBackBoundary):
+        if (allow_hybrid
+                and type(boundary) in (AntiBounceBackOutlet,
+                                       EquilibriumOutletP)):
+            # no kernel fragment: the kernel leaves these nodes frozen
+            # (identity f_post); exact values patched in afterwards
+            hybrid.append((index, boundary))
+            feq_b.append(None)
+        elif isinstance(boundary, BounceBackBoundary):
             boundary_kinds.append(("bounce_back", index))
             feq_b.append(None)
         elif isinstance(boundary, EquilibriumBoundaryPU):
@@ -1235,21 +1252,28 @@ def gate_fused_params(simulation: "Simulation") -> dict:
         else:
             raise NotImplementedError(type(boundary).__name__)
 
+    if hybrid and feq_field is not None:
+        raise NotImplementedError(
+            "hybrid outlet fix-up with per-node equilibrium boundaries")
+
     e = np.asarray(stencil.e)
     w = np.asarray(stencil.w)
     opposite = np.asarray(stencil.opposite)
     cs = float(stencil.cs)
     interpret = simulation.context.platform not in ("tpu",)
 
-    return dict(e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
-                collision_spec=collision_spec,
-                boundary_kinds=tuple(boundary_kinds),
-                feq_boundary=tuple(feq_b),
-                feq_field=feq_field,
-                # 100 MB measured faster than 64 on v5e at every n_sub
-                # (benchmarks/sweep_kernel.py)
-                vmem_limit_mb=100 if not interpret else None,
-                interpret=interpret)
+    params = dict(e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
+                  collision_spec=collision_spec,
+                  boundary_kinds=tuple(boundary_kinds),
+                  feq_boundary=tuple(feq_b),
+                  feq_field=feq_field,
+                  # 100 MB measured faster than 64 on v5e at every n_sub
+                  # (benchmarks/sweep_kernel.py)
+                  vmem_limit_mb=100 if not interpret else None,
+                  interpret=interpret)
+    if allow_hybrid:
+        params["hybrid_boundaries"] = tuple(hybrid)
+    return params
 
 
 def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
@@ -1265,9 +1289,13 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     ``/root/reference/README.rst:27``). The residual is the step input —
     the same memory autodiff of the jnp path would save.
     """
-    params = gate_fused_params(simulation)
+    params = gate_fused_params(simulation, allow_hybrid=True)
+    hybrid = params.pop("hybrid_boundaries", ())
     if dev_storage and params["collision_spec"][0] == "mrt":
         raise NotImplementedError("MRT fragment is not shift-invariant; "
+                                  "half storage unsupported")
+    if hybrid and dev_storage:
+        raise NotImplementedError("hybrid outlet fix-up operates on f; "
                                   "half storage unsupported")
     if dev_storage:
         # bf16 deviation storage doubles the halo depth; the block split
@@ -1284,6 +1312,14 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         return fused_stream_collide(
             f, no_collision_mask=ncm, no_streaming_mask=nsm,
             dev_storage=dev_storage, **params)
+
+    if hybrid:
+        from .hybrid_outlets import build_hybrid_fixup
+        fixup = build_hybrid_fixup(simulation, hybrid)
+        kernel_only = fused
+
+        def fused(f):  # noqa: F811 — kernel pass + exact plane fix-up
+            return fixup(f, kernel_only(f))
 
     if dev_storage:
         # deviation storage is a throughput mode; gradients go through the

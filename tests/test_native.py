@@ -442,3 +442,69 @@ def test_temporal_blocking_half_storage(monkeypatch):
 
     np.testing.assert_array_equal(np.asarray(flow_m.f),
                                   np.asarray(flow_s.f))
+
+
+def _obstacle_with_outlet(native, outlet_cls, **outlet_kwargs):
+    ctx = lt.Context(dtype=jnp.float64, use_native=native)
+    flow = lt.Obstacle(ctx, [32, 128], reynolds_number=80, mach_number=0.1,
+                       domain_length_x=3.2)
+
+    class FlowWithOutlet(lt.Obstacle):
+        @property
+        def boundaries(self):
+            inlet, _, bb = lt.Obstacle.boundaries.fget(self)
+            return [inlet, outlet_cls([1, 0], self, **outlet_kwargs), bb]
+
+    flow.__class__ = FlowWithOutlet
+    x, y = flow.grid
+    flow.mask = np.asarray((x - 1.0) ** 2 + (y - 6.0) ** 2 < 0.3)
+    flow.initialize()
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    return flow, sim
+
+
+@pytest.mark.parametrize("outlet_cls,kw", [
+    (lt.AntiBounceBackOutlet, {}),
+    (lt.EquilibriumOutletP, {"rho_outlet": 1.0}),
+])
+def test_native_hybrid_outlet_matches_jnp(outlet_cls, kw):
+    """Outlet flows ride the fused kernel via the exact plane fix-up
+    (hybrid_outlets.py) and match the jnp step to f64 roundoff — the
+    reference's native path cannot run outlets at all."""
+    flow_j, sim_j = _obstacle_with_outlet(False, outlet_cls, **kw)
+    flow_n, sim_n = _obstacle_with_outlet(True, outlet_cls, **kw)
+    assert sim_j._step_kind == "jnp"
+    assert sim_n._step_kind == "pallas"
+    sim_j(8)
+    sim_n(8)
+    np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
+                               rtol=0, atol=1e-13)
+
+
+def test_native_hybrid_outlet_differentiable():
+    """jax.grad flows through the hybrid kernel+fix-up step and matches
+    the jnp-path gradient."""
+    import jax
+
+    def loss_for(native):
+        flow, sim = _obstacle_with_outlet(native, lt.AntiBounceBackOutlet)
+
+        def loss(f0):
+            f = f0
+            for _ in range(3):
+                f = sim._step(f)
+            return jnp.sum(flow.view(f).u() ** 2)
+
+        return jax.grad(loss)(flow.f)
+
+    g_j = np.asarray(loss_for(False))
+    g_n = np.asarray(loss_for(True))
+    np.testing.assert_allclose(g_n, g_j, rtol=1e-10, atol=1e-14)
+
+
+def test_sponge_outlet_stays_on_jnp_path():
+    """SpongeOutlet has no windowed form yet; the capability probe must
+    route it to the jnp step rather than mis-running the kernel."""
+    flow, sim = _obstacle_with_outlet(True, lt.SpongeOutlet, depth=4)
+    assert sim._step_kind == "jnp"
