@@ -50,6 +50,21 @@ def bench_config(name, make_flow, collision_factory, steps, use_native,
     }
 
 
+def _make_obstacle_config(ctx, nx=2048, ny=1024):
+    """Cylinder in a channel with inlet + anti-bounce-back outlet — the
+    open-boundary flagship; runs fused via the hybrid outlet fix-up."""
+    import lettuce_tpu as lt
+
+    flow = lt.Obstacle(ctx, [nx, ny], reynolds_number=100,
+                       mach_number=0.1, domain_length_x=float(nx))
+    x, y = flow.grid
+    r = 0.05 * float(ny)
+    flow.mask = np.asarray((x - 0.25 * nx) ** 2
+                           + (y - 0.5 * ny) ** 2 < r ** 2)
+    flow.initialize()
+    return flow
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -95,6 +110,7 @@ def main():
              force=lt.Guo(flow, tau=flow.units.relaxation_parameter_lu,
                           acceleration=flow.units.convert_acceleration_to_lu(
                               flow.acceleration)))),
+        ("obstacle2d_2048", _make_obstacle_config, bgk),
         ("kbc3d_128_d3q27", lambda ctx: lt.TaylorGreenVortex(
             ctx, 128 // max(1, scale // 2), 1600, 0.05,
             stencil=lt.D3Q27(), initialize_fneq=False),

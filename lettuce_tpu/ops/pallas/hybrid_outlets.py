@@ -72,8 +72,14 @@ def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
 
 def build_hybrid_fixup(simulation: "Simulation",
                        hybrid: Tuple[Tuple[int, "Boundary"], ...]):
-    """Build ``fixup(f_pre, f_kernel) -> f`` for a simulation whose
-    kernel step froze the given outlet boundaries.
+    """Build the fix-up for a simulation whose kernel step froze the
+    given outlet boundaries.
+
+    Returns ``(fixup, axis, rewritten)`` where ``fixup(f_pre, f_kernel)``
+    yields the exact step result, ``axis`` is the outlet's grid axis and
+    ``rewritten`` the global plane indices along it that the fix-up
+    overwrites — the caller may drop kernel work (e.g. the no-streaming
+    mask) whose effects are confined to those planes.
 
     Raises NotImplementedError when the configuration falls outside the
     windowed formulation (multiple outlets, non-contiguous owned planes,
@@ -124,4 +130,5 @@ def build_hybrid_fixup(simulation: "Simulation",
         return _set_window(f_kernel, new_win[tuple(tsel)], axis + 1,
                            win_lo + 1, width - 2, n)
 
-    return fixup
+    rewritten = np.array([(win_lo + 1 + k) % n for k in range(width - 2)])
+    return fixup, axis, rewritten

@@ -1308,14 +1308,25 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     if nsm is not None and not bool(np.any(np.asarray(nsm))):
         nsm = None
 
+    fixup = None
+    if hybrid:
+        from .hybrid_outlets import build_hybrid_fixup
+        fixup, h_axis, rewritten = build_hybrid_fixup(simulation, hybrid)
+        if nsm is not None:
+            # the fix-up overwrites the frozen planes anyway — if every
+            # frozen population lives there, spare the kernel the whole
+            # no-streaming input and per-q select
+            outside = np.delete(np.asarray(nsm), rewritten,
+                                axis=h_axis + 1)
+            if not outside.any():
+                nsm = None
+
     def fused(f):
         return fused_stream_collide(
             f, no_collision_mask=ncm, no_streaming_mask=nsm,
             dev_storage=dev_storage, **params)
 
-    if hybrid:
-        from .hybrid_outlets import build_hybrid_fixup
-        fixup = build_hybrid_fixup(simulation, hybrid)
+    if fixup is not None:
         kernel_only = fused
 
         def fused(f):  # noqa: F811 — kernel pass + exact plane fix-up
