@@ -71,7 +71,8 @@ def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
 
 
 def build_hybrid_fixup(simulation: "Simulation",
-                       hybrid: Tuple[Tuple[int, "Boundary"], ...]):
+                       hybrid: Tuple[Tuple[int, "Boundary"], ...],
+                       n_sub: int = 1):
     """Build the fix-up for a simulation whose kernel step froze the
     given outlet boundaries.
 
@@ -80,6 +81,11 @@ def build_hybrid_fixup(simulation: "Simulation",
     ``rewritten`` the global plane indices along it that the fix-up
     overwrites — the caller may drop kernel work (e.g. the no-streaming
     mask) whose effects are confined to those planes.
+
+    With ``n_sub > 1`` (temporal blocking) the kernel's contamination
+    cone is the owned planes +- n_sub; the fix-up replays ``n_sub`` full
+    steps on a window of owned +- 2*n_sub, whose light cone makes the
+    final owned +- n_sub planes exact.
 
     Raises NotImplementedError when the configuration falls outside the
     windowed formulation (multiple outlets, non-contiguous owned planes,
@@ -102,8 +108,8 @@ def build_hybrid_fixup(simulation: "Simulation",
     lo_p, hi_p = int(pos.min()), int(pos.max())
     if hi_p - lo_p + 1 != len(pos):
         raise NotImplementedError("outlet planes are not contiguous")
-    win_lo = lo_p - 2
-    width = (hi_p - lo_p + 1) + 4
+    win_lo = lo_p - 2 * n_sub
+    width = (hi_p - lo_p + 1) + 4 * n_sub
     if width >= n:
         raise NotImplementedError("fix-up window spans the whole axis")
 
@@ -119,16 +125,19 @@ def build_hybrid_fixup(simulation: "Simulation",
 
     def fixup(f_pre: jax.Array, f_kernel: jax.Array) -> jax.Array:
         f_win = _take_window(f_pre, axis + 1, win_lo, width, n)
-        view = flow.view(f_win)
-        fpost = jnp.where(ncm_win == 0, collision(view), f_win)
-        for i, boundary in enumerate(boundaries, start=1):
-            fpost = jnp.where(ncm_win == i, boundary(view), fpost)
-        new_win = stream(fpost, e, nsm_win)
-        # targets = owned planes +- 1 -> window-local [1, width-1)
+        for _ in range(n_sub):
+            view = flow.view(f_win)
+            fpost = jnp.where(ncm_win == 0, collision(view), f_win)
+            for i, boundary in enumerate(boundaries, start=1):
+                fpost = jnp.where(ncm_win == i, boundary(view), fpost)
+            f_win = stream(fpost, e, nsm_win)
+        # targets = owned planes +- n_sub -> window-local
+        # [n_sub, width - n_sub)
         tsel = [slice(None)] * f_pre.ndim
-        tsel[axis + 1] = slice(1, width - 1)
-        return _set_window(f_kernel, new_win[tuple(tsel)], axis + 1,
-                           win_lo + 1, width - 2, n)
+        tsel[axis + 1] = slice(n_sub, width - n_sub)
+        return _set_window(f_kernel, f_win[tuple(tsel)], axis + 1,
+                           win_lo + n_sub, width - 2 * n_sub, n)
 
-    rewritten = np.array([(win_lo + 1 + k) % n for k in range(width - 2)])
+    rewritten = np.array([(win_lo + n_sub + k) % n
+                          for k in range(width - 2 * n_sub)])
     return fixup, axis, rewritten

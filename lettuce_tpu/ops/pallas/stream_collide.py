@@ -1372,13 +1372,18 @@ def build_fused_multi_step(simulation: "Simulation",
     if simulation.context.platform != "tpu" and env is None:
         # interpret mode gains nothing and pays 'span' kernel traces
         return None
-    nsm = simulation.no_streaming_mask
-    if nsm is not None and bool(np.any(np.asarray(nsm))):
-        return None  # frozen-population pull has no per-sub-step form yet
     try:
-        params = gate_fused_params(simulation)
+        params = gate_fused_params(simulation, allow_hybrid=True)
     except NotImplementedError:
         return None
+    hybrid = params.pop("hybrid_boundaries", ())
+    if hybrid and dev_storage:
+        return None  # the outlet fix-up operates on f, not deviations
+    nsm = simulation.no_streaming_mask
+    if nsm is not None and not bool(np.any(np.asarray(nsm))):
+        nsm = None
+    if nsm is not None and not hybrid:
+        return None  # frozen-population pull has no per-sub-step form
     if dev_storage and params["collision_spec"][0] == "mrt":
         return None
 
@@ -1423,10 +1428,28 @@ def build_fused_multi_step(simulation: "Simulation",
 
         ncm = simulation.no_collision_mask
 
-        def step(f, _ns=ns):
-            return fused_stream_collide(
+        fixup = None
+        if hybrid:
+            # replay ns steps on the outlet window; the blocked kernel's
+            # contamination cone (outlet planes +- ns) is exactly what
+            # the fix-up rewrites
+            from .hybrid_outlets import build_hybrid_fixup
+            try:
+                fixup, h_axis, rewritten = build_hybrid_fixup(
+                    simulation, hybrid, n_sub=ns)
+            except NotImplementedError:
+                continue
+            if nsm is not None:
+                outside = np.delete(np.asarray(nsm), rewritten,
+                                    axis=h_axis + 1)
+                if outside.any():
+                    continue  # frozen populations outside the fix-up
+
+        def step(f, _ns=ns, _fix=fixup):
+            out = fused_stream_collide(
                 f, no_collision_mask=ncm, dev_storage=dev_storage,
                 n_sub=_ns, yhalo_rows=yhalo_rows, **params)
+            return out if _fix is None else _fix(f, out)
 
         return step, ns
     return None

@@ -508,3 +508,20 @@ def test_sponge_outlet_stays_on_jnp_path():
     route it to the jnp step rather than mis-running the kernel."""
     flow, sim = _obstacle_with_outlet(True, lt.SpongeOutlet, depth=4)
     assert sim._step_kind == "jnp"
+
+
+def test_temporal_blocking_hybrid_outlet(monkeypatch):
+    """Temporal blocking composes with the outlet fix-up: the blocked
+    kernel's contamination cone (outlet planes +- n_sub) is replayed on
+    the window, matching the single-step hybrid path."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    flow_m, sim_m = _obstacle_with_outlet(True, lt.AntiBounceBackOutlet)
+    assert sim_m._step_multi is not None
+    sim_m(6)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_j, sim_j = _obstacle_with_outlet(False, lt.AntiBounceBackOutlet)
+    sim_j(6)
+
+    np.testing.assert_allclose(np.asarray(flow_m.f), np.asarray(flow_j.f),
+                               rtol=0, atol=1e-13)
