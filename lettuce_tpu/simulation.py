@@ -302,7 +302,7 @@ class Simulation:
         # honour bf16 deviation storage: step in g-space, decode only for
         # the (tiny) observable evaluations
         if self._step_dev is not None:
-            step = self._step_dev
+            step, multi = self._step_dev, self._step_dev_multi
             if self._dev_codec is not None:
                 encode, decode = self._dev_codec
             else:
@@ -310,13 +310,13 @@ class Simulation:
                 encode = lambda x: (x - w_b).astype(jnp.bfloat16)
                 decode = lambda g: g.astype(jnp.float32) + w_b
         else:
-            step = self._step
+            step, multi = self._step, self._step_multi
             encode = decode = lambda x: x
 
         obs_dtype = self.flow.f.dtype
 
         def chunk(g, _):
-            g = self._loop(step, g, interval)
+            g = self._run_mixed(g, interval, multi, step)
             if observables:
                 f = decode(g)
                 vals = jnp.stack([jnp.asarray(obs(f), dtype=obs_dtype)
