@@ -215,7 +215,8 @@ class AntiBounceBackOutlet(Boundary):
         # runs WITH the fused kernel via the exact plane fix-up
         # (ops/pallas/hybrid_outlets.py) — the reference's native path
         # emits nothing for outlets, forcing the slow python step
-        return type(self) in (AntiBounceBackOutlet, EquilibriumOutletP)
+        return type(self) in (AntiBounceBackOutlet, EquilibriumOutletP,
+                              SpongeOutlet)
 
 
 class EquilibriumOutletP(AntiBounceBackOutlet):
@@ -334,8 +335,10 @@ class SpongeOutlet(AntiBounceBackOutlet):
         self.depth = int(depth)
         self.strength = float(strength)
         self.rho0 = float(rho0)
-        # quadratic ramp 0 -> strength over the sponge depth, broadcast
-        # over the full grid along the face axis
+        # quadratic ramp 0 -> strength over the sponge depth, and the
+        # face selector, both as per-plane fields along the face axis
+        # broadcast over the rest of the grid (this position data is what
+        # window_view re-slices for the hybrid kernel fix-up)
         n = flow.resolution[self.face_axis]
         pos = np.arange(n, dtype=np.float64)
         dist = (n - 1 - pos) if self.face_sign == 1 else pos
@@ -344,6 +347,8 @@ class SpongeOutlet(AntiBounceBackOutlet):
         shape[self.face_axis] = n
         self._sigma = flow.context.convert_to_tensor(
             self.strength * ramp.reshape(shape))
+        self._face_field = flow.context.convert_to_tensor(
+            (dist == 0).reshape(shape))
 
     def __call__(self, flow: "Flow") -> jax.Array:
         # sponge blend everywhere (selected by the mask), plus the
@@ -353,11 +358,21 @@ class SpongeOutlet(AntiBounceBackOutlet):
         sponged = flow.f + self._sigma * (feq - flow.f)
         abb = super().__call__(flow)
         # the face plane uses the ABB update; sponge planes use the blend
-        face_sel = jnp.zeros(flow.f.shape[1:], dtype=bool)
-        idx = [slice(None)] * (flow.f.ndim - 1)
-        idx[self.face_axis] = -1 if self.face_sign == 1 else 0
-        face_sel = face_sel.at[tuple(idx)].set(True)
-        return jnp.where(face_sel, abb, sponged)
+        return jnp.where(self._face_field, abb, sponged)
+
+    def window_view(self, win_lo: int, width: int) -> "SpongeOutlet":
+        """Shallow copy valid on a contiguous periodic window
+        ``[win_lo, win_lo + width)`` of the face axis (hybrid kernel
+        fix-up): the per-plane ramp and face selector are re-sliced to
+        window-local coordinates."""
+        import copy as _copy
+        n = self._sigma.shape[self.face_axis]
+        idx = np.array([(win_lo + k) % n for k in range(width)])
+        clone = _copy.copy(self)
+        clone._sigma = jnp.take(self._sigma, idx, axis=self.face_axis)
+        clone._face_field = jnp.take(self._face_field, idx,
+                                     axis=self.face_axis)
+        return clone
 
     def make_no_collision_mask(self, shape: List[int], context: "Context"):
         mask = np.zeros(tuple(shape), dtype=bool)

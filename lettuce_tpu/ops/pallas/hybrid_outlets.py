@@ -120,7 +120,11 @@ def build_hybrid_fixup(simulation: "Simulation",
         nsm_win = _take_window(simulation.no_streaming_mask, axis + 1,
                                win_lo, width, n)
 
-    boundaries: List = list(simulation.boundaries[1:])
+    # boundaries whose internal fields carry face-axis positions expose
+    # window_view to re-slice them into window-local coordinates
+    boundaries: List = [
+        b.window_view(win_lo, width) if hasattr(b, "window_view") else b
+        for b in simulation.boundaries[1:]]
     collision = simulation.collision
 
     def fixup(f_pre: jax.Array, f_kernel: jax.Array) -> jax.Array:

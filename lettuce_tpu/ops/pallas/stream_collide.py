@@ -1227,7 +1227,7 @@ def gate_fused_params(simulation: "Simulation",
     for index, boundary in enumerate(simulation.boundaries[1:], start=1):
         if (allow_hybrid
                 and type(boundary) in (AntiBounceBackOutlet,
-                                       EquilibriumOutletP)):
+                                       EquilibriumOutletP, SpongeOutlet)):
             # no kernel fragment: the kernel leaves these nodes frozen
             # (identity f_post); exact values patched in afterwards
             hybrid.append((index, boundary))

@@ -503,11 +503,18 @@ def test_native_hybrid_outlet_differentiable():
     np.testing.assert_allclose(g_n, g_j, rtol=1e-10, atol=1e-14)
 
 
-def test_sponge_outlet_stays_on_jnp_path():
-    """SpongeOutlet has no windowed form yet; the capability probe must
-    route it to the jnp step rather than mis-running the kernel."""
-    flow, sim = _obstacle_with_outlet(True, lt.SpongeOutlet, depth=4)
-    assert sim._step_kind == "jnp"
+def test_native_hybrid_sponge_outlet_matches_jnp():
+    """SpongeOutlet (absorbing layer) also rides the hybrid kernel: its
+    per-plane ramp/face fields re-slice into the fix-up window via
+    window_view."""
+    flow_j, sim_j = _obstacle_with_outlet(False, lt.SpongeOutlet, depth=4)
+    flow_n, sim_n = _obstacle_with_outlet(True, lt.SpongeOutlet, depth=4)
+    assert sim_j._step_kind == "jnp"
+    assert sim_n._step_kind == "pallas"
+    sim_j(8)
+    sim_n(8)
+    np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
+                               rtol=0, atol=1e-13)
 
 
 def test_temporal_blocking_hybrid_outlet(monkeypatch):
