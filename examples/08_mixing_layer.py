@@ -1,0 +1,43 @@
+"""Temporal mixing layer: Kelvin-Helmholtz roll-up with vorticity
+output (mirrors the reference's advanced MixingLayer notebook).
+
+Runs the 2D shear layer at Re 30,000 with the entropic KBC collision
+(stable where plain BGK at this under-resolution is not), tracks the
+kinetic energy, and writes vorticity snapshots as PNGs.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import lettuce_tpu as lt
+
+os.makedirs("./data", exist_ok=True)
+
+context = lt.Context(dtype=jnp.float32)
+flow = lt.MixingLayer(context, 256, reynolds_number=30_000,
+                      mach_number=0.05, randseed=0)
+collision = lt.KBCCollision()
+energy = lt.IncompressibleKineticEnergy(flow)
+reporter = lt.ObservableReporter(energy, interval=500, out=None)
+simulation = lt.Simulation(flow, collision, [reporter])
+
+
+def vorticity(flow):
+    dx = flow.units.convert_length_to_pu(1.0)
+    u = np.asarray(flow.u_pu)
+    du0 = np.gradient(u[0], dx)
+    du1 = np.gradient(u[1], dx)
+    return du1[0] - du0[1]
+
+
+for snap in range(4):
+    mlups = simulation(num_steps=2000)
+    lt.write_image(f"./data/mixing_vorticity_{snap}.png", vorticity(flow))
+    print(f"t_pu={flow.units.convert_time_to_pu(flow.i):6.2f}  "
+          f"E={float(energy()):8.5f}  {mlups:6.0f} MLUPS")
+
+E = np.asarray(reporter.out)
+print("energy trace shape:", E.shape, "— monotone decay after roll-up:",
+      bool(np.all(np.diff(E[len(E) // 2:, 2]) <= 1e-12)))
