@@ -118,6 +118,28 @@ class EquilibriumBoundaryPU(Boundary):
     def native_available(self) -> bool:
         return True
 
+    def window_view(self, axis: int, win_lo: int, width: int,
+                    n: int) -> "EquilibriumBoundaryPU":
+        """Copy valid on a contiguous periodic window of grid ``axis``
+        (hybrid kernel fix-up): per-node velocity/pressure fields are
+        re-sliced when they span that axis; uniform or broadcast
+        (size-1) values pass through."""
+        import copy as _copy
+
+        def cut(value, lead):  # lead = extra leading dims before grid
+            arr = jnp.asarray(value)
+            dim = lead + axis
+            if arr.ndim <= dim or arr.shape[dim] != n:
+                return value
+            idx = np.array([(win_lo + k) % n for k in range(width)])
+            return jnp.take(arr, idx, axis=dim)
+
+        clone = _copy.copy(self)
+        clone.velocity = cut(self.velocity, 1)
+        clone.pressure = cut(self.pressure, 1 if np.asarray(
+            self.pressure).ndim > len(self._mask.shape) else 0)
+        return clone
+
 
 
 class AntiBounceBackOutlet(Boundary):
@@ -360,13 +382,16 @@ class SpongeOutlet(AntiBounceBackOutlet):
         # the face plane uses the ABB update; sponge planes use the blend
         return jnp.where(self._face_field, abb, sponged)
 
-    def window_view(self, win_lo: int, width: int) -> "SpongeOutlet":
+    def window_view(self, axis: int, win_lo: int, width: int,
+                    n: int) -> "SpongeOutlet":
         """Shallow copy valid on a contiguous periodic window
-        ``[win_lo, win_lo + width)`` of the face axis (hybrid kernel
+        ``[win_lo, win_lo + width)`` of grid ``axis`` (hybrid kernel
         fix-up): the per-plane ramp and face selector are re-sliced to
-        window-local coordinates."""
+        window-local coordinates when the window runs along the face
+        axis (they broadcast over every other axis)."""
         import copy as _copy
-        n = self._sigma.shape[self.face_axis]
+        if axis != self.face_axis:
+            return self
         idx = np.array([(win_lo + k) % n for k in range(width)])
         clone = _copy.copy(self)
         clone._sigma = jnp.take(self._sigma, idx, axis=self.face_axis)

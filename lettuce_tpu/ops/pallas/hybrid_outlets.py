@@ -123,7 +123,8 @@ def build_hybrid_fixup(simulation: "Simulation",
     # boundaries whose internal fields carry face-axis positions expose
     # window_view to re-slice them into window-local coordinates
     boundaries: List = [
-        b.window_view(win_lo, width) if hasattr(b, "window_view") else b
+        b.window_view(axis, win_lo, width, n)
+        if hasattr(b, "window_view") else b
         for b in simulation.boundaries[1:]]
     collision = simulation.collision
 

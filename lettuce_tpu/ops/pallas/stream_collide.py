@@ -1252,10 +1252,6 @@ def gate_fused_params(simulation: "Simulation",
         else:
             raise NotImplementedError(type(boundary).__name__)
 
-    if hybrid and feq_field is not None:
-        raise NotImplementedError(
-            "hybrid outlet fix-up with per-node equilibrium boundaries")
-
     e = np.asarray(stencil.e)
     w = np.asarray(stencil.w)
     opposite = np.asarray(stencil.opposite)

@@ -532,3 +532,44 @@ def test_temporal_blocking_hybrid_outlet(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(flow_m.f), np.asarray(flow_j.f),
                                rtol=0, atol=1e-13)
+
+
+def test_native_hybrid_outlet_with_pernode_inlet():
+    """Per-node (parabolic) equilibrium inlet + anti-bounce-back outlet
+    together on the kernel path: the inlet runs via the combined feq
+    field, the outlet via the plane fix-up (window_view re-slices the
+    inlet's velocity field into the window)."""
+    ny = 128
+    prof = 0.05 * 4 * np.linspace(0, 1, ny) * (1 - np.linspace(0, 1, ny))
+    velocity = np.stack([prof, np.zeros(ny)])[:, None, :]  # [d, 1, ny]
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        flow = lt.Obstacle(ctx, [32, ny], reynolds_number=80,
+                           mach_number=0.1, domain_length_x=3.2)
+
+        class FlowParabolicInlet(lt.Obstacle):
+            @property
+            def boundaries(self):
+                inlet, outlet, bb = lt.Obstacle.boundaries.fget(self)
+                mask = np.zeros((32, ny), dtype=bool)
+                mask[0, :] = True
+                return [lt.EquilibriumBoundaryPU(self.context, mask,
+                                                 velocity),
+                        outlet, bb]
+
+        flow.__class__ = FlowParabolicInlet
+        x, y = flow.grid
+        flow.mask = np.asarray((x - 1.0) ** 2 + (y - 6.0) ** 2 < 0.3)
+        flow.initialize()
+        sim = lt.Simulation(
+            flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+        return flow, sim
+
+    flow_j, sim_j = make(False)
+    flow_n, sim_n = make(True)
+    assert sim_n._step_kind == "pallas"
+    sim_j(8)
+    sim_n(8)
+    np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
+                               rtol=0, atol=1e-13)
