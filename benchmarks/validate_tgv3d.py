@@ -44,13 +44,14 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
 
     energy = lt.IncompressibleKineticEnergy(flow)
     import time
-    t0 = time.perf_counter()
     # segment the run into ~30 s dispatches (very long single dispatches
-    # can trip the remote worker's watchdog)
+    # can trip the remote worker's watchdog); MLUPS is measured over the
+    # warmed segments (the first pays the rollout-program compile)
     seg_records = max(1, 2000 // interval)
     seg_steps = seg_records * interval
     chunks = []
-    done = 0
+    done = warm_steps = 0
+    t0 = time.perf_counter()
     while done < num_steps:
         n = min(seg_steps, (num_steps - done) // interval * interval)
         if n == 0:
@@ -59,11 +60,14 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
             simulation.rollout(n, observables=[energy],
                                interval=interval)), dtype=np.float64))
         done += n
+        if warm_steps == 0:
+            warm_steps = n
+            t0 = time.perf_counter()
         print(f"  t={done * dt:.2f}", flush=True)
     records = np.concatenate(chunks, axis=0)
     num_steps = done
     elapsed = time.perf_counter() - t0
-    mlups = num_steps * resolution ** 3 / 1e6 / elapsed
+    mlups = (num_steps - warm_steps) * resolution ** 3 / 1e6 / elapsed
 
     # volume-averaged kinetic energy (domain volume (2 pi)^3)
     vol = (2 * np.pi) ** flow.stencil.d

@@ -299,6 +299,19 @@ class Simulation:
         n_chunks = num_steps // max(1, interval)
         rem = num_steps - n_chunks * interval
 
+        # one compiled program per (shape of the scan, observable set) —
+        # repeated segment-wise calls (e.g. long validation runs) would
+        # otherwise retrace and recompile every call
+        cache_key = (n_chunks, rem, interval,
+                     tuple(id(o) for o in observables))
+        if not hasattr(self, "_rollout_cache"):
+            self._rollout_cache = {}
+        cached = self._rollout_cache.get(cache_key)
+        if cached is not None:
+            self.flow.f, records = cached(self.flow.f)
+            self.flow.i += num_steps
+            return records
+
         # honour bf16 deviation storage: step in g-space, decode only for
         # the (tiny) observable evaluations
         if self._step_dev is not None:
@@ -333,6 +346,7 @@ class Simulation:
                 g = jax.lax.fori_loop(0, rem, lambda _, gi: step(gi), g)
             return decode(g), records
 
+        self._rollout_cache[cache_key] = run
         self.flow.f, records = run(self.flow.f)
         self.flow.i += num_steps
         return records
