@@ -66,10 +66,15 @@ def main(ctx, tpu, precision, use_native, cuda, cuda_native):
 @click.option("-f", "--flow", "flow_name", default="taylor2d",
               type=click.Choice(sorted(lt.flow_by_name)))
 @click.option("-v", "--vtk-out", is_flag=True, default=False)
+@click.option("--half-storage", is_flag=True, default=False,
+              help="Keep the state as bfloat16 deviations between steps "
+                   "(halved traffic, f32 compute; needs the fused "
+                   "kernel).")
 @click.option("--profile-out", type=str, default="",
               help="File to write cProfile results to.")
 @click.pass_obj
-def benchmark(context, steps, resolution, flow_name, vtk_out, profile_out):
+def benchmark(context, steps, resolution, flow_name, vtk_out, half_storage,
+              profile_out):
     """Run a short simulation and print the throughput in MLUPS."""
     if profile_out:
         profile = cProfile.Profile()
@@ -93,7 +98,8 @@ def benchmark(context, steps, resolution, flow_name, vtk_out, profile_out):
     reporters = []
     if vtk_out:
         reporters.append(lt.VTKReporter(interval=max(1, steps // 10)))
-    simulation = lt.Simulation(flow, collision, reporters)
+    simulation = lt.Simulation(flow, collision, reporters,
+                               half_storage=half_storage)
     mlups = simulation(steps)
 
     if profile_out:
