@@ -22,8 +22,10 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform in ("tpu", "gpu")
     resolution = 256 if on_accel else 32
-    steps = 200 if on_accel else 10
-    warmup = 20 if on_accel else 2
+    # ~8e9 site updates: the remote tunnel's dispatch+fetch overhead
+    # (~0.1 s) under-reports sub-second timed runs by 20-35%
+    steps = 480 if on_accel else 10
+    warmup = 40 if on_accel else 2
 
     def run(half):
         context = lt.Context(dtype=jnp.float32, use_native=True)
