@@ -200,3 +200,27 @@ def test_periodic_pressure_bc_drives_poiseuille(fix_context):
            / np.abs(u_ref[0]).max())
     assert err < 0.08, f"profile error {err}"
     assert np.all(np.isfinite(u_sim))
+
+
+def test_periodic_pressure_bc_3d_drives_flow(fix_context):
+    """The pressure-difference boundary is stencil-generic: a D3Q19
+    periodic box develops a mean flow along the driven axis only."""
+    flow = lt.TaylorGreenVortex(fix_context, [8, 8, 8], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+
+    class Driven(type(flow)):
+        pass
+
+    flow.__class__ = Driven
+    flow.f = flow.equilibrium(flow, rho=jnp.ones((1, 8, 8, 8)),
+                              u=jnp.zeros((3, 8, 8, 8)))
+    ppbc = lt.PeriodicPressureBC(flow, 0.01, collision, axis=0)
+    Driven.boundaries = property(lambda self: [ppbc])
+    simulation = lt.Simulation(flow, collision, [])
+    simulation(50)
+    u = np.asarray(flow.u())
+    assert float(u[0].mean()) > 1e-5          # driven along +x
+    assert abs(float(u[1].mean())) < 1e-10    # transverse means vanish
+    assert abs(float(u[2].mean())) < 1e-10
+    assert np.all(np.isfinite(u))

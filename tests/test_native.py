@@ -573,3 +573,27 @@ def test_native_hybrid_outlet_with_pernode_inlet():
     sim_n(8)
     np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
                                rtol=0, atol=1e-13)
+
+
+def test_native_hybrid_outlet_3d():
+    """The outlet fix-up window machinery is dimension-generic: 3D
+    obstacle flow with an anti-bounce-back outlet matches jnp."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        flow = lt.Obstacle(ctx, [16, 16, 128], reynolds_number=50,
+                           mach_number=0.1, domain_length_x=1.6)
+        x, y, z = flow.grid
+        flow.mask = np.asarray((x - 0.5) ** 2 + (y - 0.8) ** 2
+                               + (z - 6.0) ** 2 < 0.09)
+        flow.initialize()
+        sim = lt.Simulation(
+            flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+        return flow, sim
+
+    flow_j, sim_j = make(False)
+    flow_n, sim_n = make(True)
+    assert sim_n._step_kind == "pallas"
+    sim_j(4)
+    sim_n(4)
+    np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
+                               rtol=0, atol=1e-13)
