@@ -29,8 +29,8 @@ from .reporters import (Observable, MaximumVelocity,
                         IncompressibleKineticEnergy, Enstrophy,
                         EnergySpectrum, Mass, DragCoefficient,
                         ObservableReporter,
-                        ErrorReporter, VTKReporter, write_image,
-                        mean_analytic_error)
+                        ErrorReporter, VTKReporter, FlowStatistics,
+                        write_image, mean_analytic_error)
 from .parallel import DomainDecomposition
 from .utils.datautils import HDF5Reporter, LettuceDataset
 from .utils.checkpoint import (save_state, restore_state,

@@ -27,7 +27,7 @@ from .utils.utility import jax_gradient
 __all__ = ["Observable", "MaximumVelocity", "IncompressibleKineticEnergy",
            "Enstrophy", "EnergySpectrum", "Mass", "DragCoefficient",
            "ObservableReporter",
-           "ErrorReporter", "VTKReporter", "write_image",
+           "ErrorReporter", "VTKReporter", "FlowStatistics", "write_image",
            "mean_analytic_error"]
 
 
@@ -280,6 +280,60 @@ def mean_analytic_error(simulation, num_steps: int):
     flow.i += num_steps
     err_u, err_p = np.abs(np.asarray(errs)).mean(axis=0).tolist()
     return err_u, err_p
+
+
+class FlowStatistics(Reporter):
+    """Running first- and second-moment statistics of the velocity field.
+
+    NEW capability (the reference computes time averages manually in its
+    notebooks): every ``interval`` steps the reporter accumulates
+    ``sum u`` and ``sum u u^T`` as device arrays — no host transfer until
+    the properties are read. After a statistically steady run,
+
+      * ``mean_u``          — time-averaged velocity [d, *grid] (pu),
+      * ``reynolds_stresses`` — <u'_a u'_b> [d, d, *grid] (pu),
+      * ``turbulent_kinetic_energy`` — 0.5 trace of the stresses.
+
+    ``reset()`` discards the accumulators (e.g. after the transient).
+    """
+
+    def __init__(self, flow: "Flow", interval: int = 1):
+        super().__init__(interval)
+        self.flow = flow
+        self.reset()
+
+    def reset(self):
+        self._n = 0
+        self._sum_u = None
+        self._sum_uu = None
+
+    def __call__(self, simulation: "Simulation"):
+        if simulation.flow.i % self.interval != 0:
+            return
+        u = simulation.flow.u_pu
+        uu = u[:, None] * u[None, :]
+        if self._sum_u is None:
+            self._sum_u, self._sum_uu = u, uu
+        else:
+            self._sum_u = self._sum_u + u
+            self._sum_uu = self._sum_uu + uu
+        self._n += 1
+
+    @property
+    def mean_u(self):
+        assert self._n, "no samples accumulated yet"
+        return self._sum_u / self._n
+
+    @property
+    def reynolds_stresses(self):
+        assert self._n, "no samples accumulated yet"
+        m = self.mean_u
+        return self._sum_uu / self._n - m[:, None] * m[None, :]
+
+    @property
+    def turbulent_kinetic_energy(self):
+        r = self.reynolds_stresses
+        return 0.5 * jnp.einsum("aa...->...", r)
 
 
 class VTKReporter(Reporter):

@@ -303,3 +303,26 @@ def test_drag_coefficient_cylinder():
     assert np.isfinite(cd) and np.isfinite(cl)
     assert cd > 0.5, f"drag {cd} not downstream-positive"
     assert abs(cl) < 0.2 * cd, f"lift {cl} breaks symmetry vs drag {cd}"
+
+
+def test_flow_statistics_couette(fix_context):
+    """FlowStatistics accumulates the laminar Couette mean profile with
+    vanishing Reynolds stresses once the transient is discarded."""
+    flow = lt.CouetteFlow2D(fix_context, 16, reynolds_number=5,
+                            mach_number=0.05)
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    sim(9000)  # ~3 momentum-diffusion times: steady state
+    stats = lt.FlowStatistics(flow, interval=5)
+    sim.reporter.append(stats)
+    sim(100)
+    assert stats._n == 20
+    _, u_ref = flow.analytic_solution()
+    err = (np.abs(np.asarray(stats.mean_u - u_ref))[:, :, 1:-1].max()
+           / np.abs(np.asarray(u_ref)).max())
+    assert err < 0.05, f"mean profile error {err}"
+    # steady flow: fluctuations at machine-precision level
+    assert float(jnp.abs(stats.reynolds_stresses).max()) < 1e-9
+    assert float(jnp.abs(stats.turbulent_kinetic_energy).max()) < 1e-9
+    stats.reset()
+    assert stats._n == 0
