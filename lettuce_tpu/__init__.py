@@ -30,7 +30,7 @@ from .reporters import (Observable, MaximumVelocity,
                         EnergySpectrum, Mass, DragCoefficient,
                         ObservableReporter,
                         ErrorReporter, VTKReporter, FlowStatistics,
-                        write_image, mean_analytic_error)
+                        NaNGuard, write_image, mean_analytic_error)
 from .parallel import DomainDecomposition
 from .utils.datautils import HDF5Reporter, LettuceDataset
 from .utils.checkpoint import (save_state, restore_state,

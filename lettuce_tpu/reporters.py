@@ -27,8 +27,8 @@ from .utils.utility import jax_gradient
 __all__ = ["Observable", "MaximumVelocity", "IncompressibleKineticEnergy",
            "Enstrophy", "EnergySpectrum", "Mass", "DragCoefficient",
            "ObservableReporter",
-           "ErrorReporter", "VTKReporter", "FlowStatistics", "write_image",
-           "mean_analytic_error"]
+           "ErrorReporter", "VTKReporter", "FlowStatistics", "NaNGuard",
+           "write_image", "mean_analytic_error"]
 
 
 class Observable(ABC):
@@ -334,6 +334,33 @@ class FlowStatistics(Reporter):
     def turbulent_kinetic_energy(self):
         r = self.reynolds_stresses
         return 0.5 * jnp.einsum("aa...->...", r)
+
+
+class NaNGuard(Reporter):
+    """Failure detection: raise ``FloatingPointError`` as soon as the
+    state goes non-finite (checked every ``interval`` steps).
+
+    The reference's only numerical fault tolerance is KBC's NaN guard on
+    its stabiliser; an exploding BGK run there silently produces NaN
+    fields. One device-side reduction per interval; on divergence the
+    error names the first failing step window so the run can be resumed
+    from the last checkpoint with safer parameters.
+    """
+
+    def __init__(self, flow: "Flow", interval: int = 100):
+        super().__init__(interval)
+        self.flow = flow
+
+    def __call__(self, simulation: "Simulation"):
+        if simulation.flow.i % self.interval != 0:
+            return
+        if not bool(jnp.isfinite(simulation.flow.f).all()):
+            raise FloatingPointError(
+                f"non-finite populations detected at step "
+                f"{simulation.flow.i} (within the last {self.interval} "
+                f"steps) — the simulation has diverged; lower Ma / "
+                f"refine the grid / use a stabilised collision "
+                f"(KBC, regularized, Smagorinsky)")
 
 
 class VTKReporter(Reporter):

@@ -326,3 +326,21 @@ def test_flow_statistics_couette(fix_context):
     assert float(jnp.abs(stats.turbulent_kinetic_energy).max()) < 1e-9
     stats.reset()
     assert stats._n == 0
+
+
+def test_nan_guard_detects_divergence(fix_context):
+    """NaNGuard raises once the run diverges (here: tau < 0.5 makes BGK
+    unconditionally unstable) and stays silent on a healthy run."""
+    flow = lt.TaylorGreenVortex(fix_context, 16, 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu),
+        [lt.NaNGuard(flow, interval=10)])
+    sim(20)  # healthy
+
+    bad = lt.TaylorGreenVortex(fix_context, 16, 100, 0.05,
+                               stencil=lt.D2Q9(), initialize_fneq=False)
+    sim_bad = lt.Simulation(bad, lt.BGKCollision(tau=0.3),
+                            [lt.NaNGuard(bad, interval=10)])
+    with pytest.raises(FloatingPointError, match="diverged"):
+        sim_bad(500)
