@@ -336,6 +336,112 @@ class DomainDecomposition:
                            out_specs=fspec)
         return mapped, n_sub
 
+    def _try_2dmesh_native_step(self, simulation: "Simulation",
+                                dev: bool = False):
+        """Fused kernel on a 2D (x, y) device mesh for 3D grids.
+
+        Per step each shard exchanges a y halo (8 planes f32 / 16 bf16 —
+        the kernel's merged-row halo depth) and then a one-plane x halo
+        over ICI; exchanging y first means the x planes carry the y halos,
+        so corner data arrives without a diagonal ppermute. The kernel
+        then runs on the extended, locally-periodic slab and the interior
+        is kept: wrap-around garbage is confined to the halos, exactly as
+        in the 1D temporally-blocked path (:meth:`shard_multi_step`).
+
+        Raises NotImplementedError when the configuration cannot use this
+        path (non-3D grid, unsupported component, non-divisible extents,
+        or no tile-aligned block split of the extended slab) — the caller
+        falls back to the jnp sharded step.
+        """
+        from ..ops.boundary import combined_equilibrium_field
+        from ..ops.pallas.stream_collide import (fused_stream_collide,
+                                                 gate_fused_params,
+                                                 plan_blocks)
+        from ._shard_map_compat import shard_map
+
+        flow = simulation.flow
+        d = flow.stencil.d
+        if self.grid_axes != (0, 1) or d != 3:
+            raise NotImplementedError
+        params = gate_fused_params(simulation)
+        params.pop("feq_field", None)
+        if dev and params["collision_spec"][0] == "mrt":
+            raise NotImplementedError
+
+        n_sx, n_sy = self.mesh_shape
+        nx, ny, nz = flow.resolution
+        if nx % n_sx or ny % n_sy:
+            raise NotImplementedError("resolution must divide the mesh")
+        lx, ly = nx // n_sx, ny // n_sy
+        dtype = jnp.bfloat16 if dev else flow.f.dtype
+        hy = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+        if ly <= hy or lx < 2:
+            raise NotImplementedError("shards smaller than the halo")
+        ext_shape = (lx + 2, ly + 2 * hy, nz)
+        plan_blocks(ext_shape, flow.stencil.q, dtype)
+
+        ncm = simulation.no_collision_mask
+        nsm = simulation.no_streaming_mask
+        feq_field, _ = combined_equilibrium_field(
+            flow, simulation.boundaries, ncm)
+        has_ncm = ncm is not None
+        has_nsm = nsm is not None
+        has_feq = feq_field is not None
+
+        def extend(arr, lead):
+            """Per-shard extended windows of a static global field,
+            assembled as one global array whose even sharding hands each
+            shard its own halo-extended window."""
+            a = np.asarray(arr)
+            x_idx = np.concatenate(
+                [np.arange(i * lx - 1, i * lx + lx + 1) % nx
+                 for i in range(n_sx)])
+            y_idx = np.concatenate(
+                [np.arange(j * ly - hy, j * ly + ly + hy) % ny
+                 for j in range(n_sy)])
+            return a.take(x_idx, axis=lead).take(y_idx, axis=lead + 1)
+
+        ncm_e = self.shard_grid_array(jnp.asarray(extend(ncm, 0))) \
+            if has_ncm else jnp.zeros((), dtype=jnp.uint8)
+        nsm_e = self.shard_f(jnp.asarray(extend(nsm, 1))) \
+            if has_nsm else jnp.zeros((), dtype=bool)
+        feq_e = self.shard_f(jnp.asarray(extend(feq_field, 1))) \
+            if has_feq else jnp.zeros((), dtype=flow.f.dtype)
+
+        x_name, y_name = self.axis_names
+        fwd_x = _ring_perm(n_sx, 1)
+        bwd_x = _ring_perm(n_sx, -1)
+        fwd_y = _ring_perm(n_sy, 1)
+        bwd_y = _ring_perm(n_sy, -1)
+
+        def local(f, ncm_l, nsm_l, feq_l):
+            recv_lo = jax.lax.ppermute(f[:, :, -hy:], y_name, fwd_y)
+            recv_hi = jax.lax.ppermute(f[:, :, :hy], y_name, bwd_y)
+            fy = jnp.concatenate([recv_lo, f, recv_hi], axis=2)
+            recv_l = jax.lax.ppermute(fy[:, -1:], x_name, fwd_x)
+            recv_r = jax.lax.ppermute(fy[:, :1], x_name, bwd_x)
+            ext = jnp.concatenate([recv_l, fy, recv_r], axis=1)
+            out = fused_stream_collide(
+                ext,
+                no_collision_mask=ncm_l if has_ncm else None,
+                no_streaming_mask=nsm_l if has_nsm else None,
+                feq_field=feq_l if has_feq else None,
+                dev_storage=dev, **params)
+            return out[:, 1:-1, hy:-hy]
+
+        fspec = self.f_spec(d)
+        in_specs = (fspec,
+                    self.grid_spec(d) if has_ncm else P(),
+                    fspec if has_nsm else P(),
+                    fspec if has_feq else P())
+        mapped = shard_map(local, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=fspec)
+
+        def step(f):
+            return mapped(f, ncm_e, nsm_e, feq_e)
+
+        return step
+
     def shard_step(self, simulation: "Simulation", dev: bool = False):
         """Build the shard_mapped collide-and-stream step for a Simulation.
 
@@ -379,6 +485,14 @@ class DomainDecomposition:
         feq_field, pernode = combined_equilibrium_field(
             flow, boundaries, ncm)
         has_feq = feq_field is not None
+
+        # try the fused-kernel path on a 2D (x, y) mesh for 3D grids
+        if (simulation.context.use_native and self.grid_axes == (0, 1)
+                and flow.stencil.d == 3):
+            try:
+                return self._try_2dmesh_native_step(simulation, dev=dev)
+            except NotImplementedError:
+                pass
 
         # try the fused-kernel local step (1D x-sharding only)
         native_step = None
