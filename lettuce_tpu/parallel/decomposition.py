@@ -293,7 +293,9 @@ class DomainDecomposition:
         if (simulation.no_collision_mask is not None
                 or simulation.no_streaming_mask is not None
                 or not simulation.context.use_native
-                or self.grid_axes != (0,)):
+                or self.grid_axes not in ((0,), (0, 1))):
+            return None
+        if self.grid_axes == (0, 1) and flow.stencil.d != 3:
             return None
         probe = build_fused_multi_step(simulation, dev_storage=dev)
         if probe is None:
@@ -308,9 +310,23 @@ class DomainDecomposition:
         d = flow.stencil.d
         n_shards = self.mesh_shape[0]
         local_x = flow.resolution[0] // n_shards
-        ext_shape = (local_x + 2 * n_sub,) + tuple(flow.resolution[1:])
         dtype = jnp.bfloat16 if dev else flow.f.dtype
         q = flow.stencil.q
+
+        if self.grid_axes == (0, 1):
+            # 2D mesh: y halo deep enough for the blocked sweep's reach
+            # (one yhalo of block reads + the sub-step dependency cone,
+            # bounded by 2*yhalo merged rows <= 2*yhalo natural planes)
+            n_sy = self.mesh_shape[1]
+            local_y = flow.resolution[1] // n_sy
+            base_yhalo = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+            hy = 2 * base_yhalo
+            if local_y <= hy or local_x < n_sub:
+                return None
+            ext_shape = (local_x + 2 * n_sub, local_y + 2 * hy,
+                         flow.resolution[2])
+        else:
+            ext_shape = (local_x + 2 * n_sub,) + tuple(flow.resolution[1:])
         try:
             bx, _, yhalo, S = plan_blocks(ext_shape, q, dtype)
             if bx % n_sub != 0 or (d == 3 and n_sub * S > yhalo):
@@ -318,18 +334,35 @@ class DomainDecomposition:
         except NotImplementedError:
             return None
 
-        axis_name = self.axis_names[0]
         fwd = _ring_perm(n_shards, 1)
         bwd = _ring_perm(n_shards, -1)
 
-        def local_step(f):
-            # my last planes -> right neighbour's left halo, and vice versa
-            recv_left = jax.lax.ppermute(f[:, -n_sub:], axis_name, fwd)
-            recv_right = jax.lax.ppermute(f[:, :n_sub], axis_name, bwd)
-            ext = jnp.concatenate([recv_left, f, recv_right], axis=1)
-            out = fused_stream_collide(ext, dev_storage=dev, n_sub=n_sub,
-                                       **params)
-            return out[:, n_sub:-n_sub]
+        if self.grid_axes == (0, 1):
+            x_name, y_name = self.axis_names
+            fwd_y = _ring_perm(n_sy, 1)
+            bwd_y = _ring_perm(n_sy, -1)
+
+            def local_step(f):
+                recv_lo = jax.lax.ppermute(f[:, :, -hy:], y_name, fwd_y)
+                recv_hi = jax.lax.ppermute(f[:, :, :hy], y_name, bwd_y)
+                fy = jnp.concatenate([recv_lo, f, recv_hi], axis=2)
+                recv_l = jax.lax.ppermute(fy[:, -n_sub:], x_name, fwd)
+                recv_r = jax.lax.ppermute(fy[:, :n_sub], x_name, bwd)
+                ext = jnp.concatenate([recv_l, fy, recv_r], axis=1)
+                out = fused_stream_collide(ext, dev_storage=dev,
+                                           n_sub=n_sub, **params)
+                return out[:, n_sub:-n_sub, hy:-hy]
+        else:
+            axis_name = self.axis_names[0]
+
+            def local_step(f):
+                # my last planes -> right neighbour's left halo, and back
+                recv_left = jax.lax.ppermute(f[:, -n_sub:], axis_name, fwd)
+                recv_right = jax.lax.ppermute(f[:, :n_sub], axis_name, bwd)
+                ext = jnp.concatenate([recv_left, f, recv_right], axis=1)
+                out = fused_stream_collide(ext, dev_storage=dev,
+                                           n_sub=n_sub, **params)
+                return out[:, n_sub:-n_sub]
 
         fspec = self.f_spec(d)
         mapped = shard_map(local_step, mesh=self.mesh, in_specs=(fspec,),

@@ -454,3 +454,33 @@ def test_sharded_2dmesh_half_storage():
 
     np.testing.assert_allclose(np.asarray(flow_sh.f),
                                np.asarray(flow_ref.f), atol=2e-4)
+
+
+def test_sharded_2dmesh_temporal_blocking(monkeypatch):
+    """Temporal blocking on the 2D-mesh kernel path: n_sub x planes and
+    a doubled y halo exchanged once per n_sub steps."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    ctx = lt.Context(dtype=jnp.float64, use_native=True)
+
+    def make():
+        return lt.TaylorGreenVortex(ctx, [32, 128, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(4)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_ref = make()
+    ctx_ref = lt.Context(dtype=jnp.float64, use_native=False)
+    flow_ref.context = ctx_ref
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(4)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
