@@ -1,9 +1,10 @@
 """Exact jnp fix-up that lets outlet boundaries ride the fused kernel.
 
-The outlets (``AntiBounceBackOutlet``, ``EquilibriumOutletP``) have no
-kernel fragment — in the reference they have no native path either
-(``cuda_native`` emits nothing for them), so flows like the Obstacle
-family dropped to the slow jnp step whenever an outlet was present.
+The outlets (``AntiBounceBackOutlet``, ``EquilibriumOutletP``,
+``SpongeOutlet``) have no kernel fragment — in the reference they have no
+native path either (``cuda_native`` emits nothing for them), so flows
+like the Obstacle family dropped to the slow jnp step whenever an outlet
+was present.
 
 Observation: an outlet only changes f_post on the handful of grid planes
 it owns, so the fused kernel can run the whole domain treating those
@@ -14,17 +15,24 @@ result on the affected planes only:
 
   * sources: the planes owned by the outlet (f_post there is the outlet
     replacement, not identity),
-  * targets: those planes plus their axis neighbours (pull distance 1),
-    including the periodic wrap onto the opposite domain edge.
+  * targets: those planes plus their axis neighbours (pull distance 1,
+    or n_sub under temporal blocking), including the periodic wrap onto
+    the opposite domain edge.
 
 The fix-up extracts a contiguous *periodic window* around the face
-(owned planes +- 2), replays the step composition of
+(owned planes +- 2 n_sub), replays the step composition of
 ``Simulation._step_jnp_body`` on that window — collision, every
 boundary, streaming with the frozen-population mask — and writes the
 target planes back over the kernel output. Rolls inside the window are
-correct wherever they are consumed: the owned planes sit >= 2 planes
-from the window edge, targets >= 1. Cost per step is O(q * window *
-transverse), a few planes against the kernel's full-grid pass.
+correct wherever they are consumed: the owned planes sit >= 2 n_sub
+planes from the window edge, targets >= n_sub. Cost per step is
+O(q * window * transverse), a few planes against the kernel's full-grid
+pass.
+
+Multiple outlets compose: each window replay includes EVERY boundary via
+the index-coded mask, so each fix-up's rewritten planes are exact
+regardless of the others, and sequential application commutes (in any
+overlap both fix-ups write the same exact values).
 """
 
 from __future__ import annotations
@@ -70,31 +78,9 @@ def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
     return arr.at[tuple(sel)].set(values[tuple(vsel)])
 
 
-def build_hybrid_fixup(simulation: "Simulation",
-                       hybrid: Tuple[Tuple[int, "Boundary"], ...],
-                       n_sub: int = 1):
-    """Build the fix-up for a simulation whose kernel step froze the
-    given outlet boundaries.
-
-    Returns ``(fixup, axis, rewritten)`` where ``fixup(f_pre, f_kernel)``
-    yields the exact step result, ``axis`` is the outlet's grid axis and
-    ``rewritten`` the global plane indices along it that the fix-up
-    overwrites — the caller may drop kernel work (e.g. the no-streaming
-    mask) whose effects are confined to those planes.
-
-    With ``n_sub > 1`` (temporal blocking) the kernel's contamination
-    cone is the owned planes +- n_sub; the fix-up replays ``n_sub`` full
-    steps on a window of owned +- 2*n_sub, whose light cone makes the
-    final owned +- n_sub planes exact.
-
-    Raises NotImplementedError when the configuration falls outside the
-    windowed formulation (multiple outlets, non-contiguous owned planes,
-    or a window spanning the whole axis) — the caller then falls back to
-    the jnp step.
-    """
-    if len(hybrid) != 1:
-        raise NotImplementedError("hybrid fix-up supports one outlet")
-    index_h, outlet = hybrid[0]
+def _build_one_fixup(simulation: "Simulation", index_h: int,
+                     outlet: "Boundary", n_sub: int):
+    """Window fix-up for a single outlet; see module docstring."""
     flow = simulation.flow
     e = np.asarray(flow.stencil.e)
     axis = outlet.face_axis          # grid axis of the outlet face
@@ -146,3 +132,36 @@ def build_hybrid_fixup(simulation: "Simulation",
     rewritten = np.array([(win_lo + n_sub + k) % n
                           for k in range(width - 2 * n_sub)])
     return fixup, axis, rewritten
+
+
+def build_hybrid_fixup(simulation: "Simulation",
+                       hybrid: Tuple[Tuple[int, "Boundary"], ...],
+                       n_sub: int = 1):
+    """Build the fix-up for a simulation whose kernel step froze the
+    given outlet boundaries.
+
+    Returns ``(fixup, regions)`` where ``fixup(f_pre, f_kernel)`` yields
+    the exact step result and ``regions`` is a list of
+    ``(grid_axis, rewritten_plane_indices)`` — the caller may drop
+    kernel work (e.g. the no-streaming mask) whose effects are confined
+    to those planes.
+
+    Raises NotImplementedError when a configuration falls outside the
+    windowed formulation (non-contiguous owned planes, or a window
+    spanning the whole axis) — the caller then falls back to the jnp
+    step.
+    """
+    parts = [_build_one_fixup(simulation, index_h, outlet, n_sub)
+             for index_h, outlet in hybrid]
+
+    if len(parts) == 1:
+        one, axis, rewritten = parts[0]
+        return one, [(axis, rewritten)]
+
+    def fixup(f_pre: jax.Array, f_kernel: jax.Array) -> jax.Array:
+        out = f_kernel
+        for one, _, _ in parts:
+            out = one(f_pre, out)
+        return out
+
+    return fixup, [(axis, rewritten) for _, axis, rewritten in parts]

@@ -1272,6 +1272,17 @@ def gate_fused_params(simulation: "Simulation",
     return params
 
 
+def _nsm_outside_regions(nsm, regions) -> bool:
+    """True if any frozen population lies outside the planes the hybrid
+    fix-up rewrites (regions = [(grid_axis, plane_indices), ...])."""
+    outside = np.asarray(nsm).copy()
+    for axis, rewritten in regions:
+        sel = [slice(None)] * outside.ndim
+        sel[axis + 1] = np.asarray(rewritten)
+        outside[tuple(sel)] = False
+    return bool(outside.any())
+
+
 def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     """Single-device fused step with the simulation's masks baked in.
 
@@ -1307,15 +1318,12 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     fixup = None
     if hybrid:
         from .hybrid_outlets import build_hybrid_fixup
-        fixup, h_axis, rewritten = build_hybrid_fixup(simulation, hybrid)
-        if nsm is not None:
+        fixup, regions = build_hybrid_fixup(simulation, hybrid)
+        if nsm is not None and not _nsm_outside_regions(nsm, regions):
             # the fix-up overwrites the frozen planes anyway — if every
             # frozen population lives there, spare the kernel the whole
             # no-streaming input and per-q select
-            outside = np.delete(np.asarray(nsm), rewritten,
-                                axis=h_axis + 1)
-            if not outside.any():
-                nsm = None
+            nsm = None
 
     def fused(f):
         return fused_stream_collide(
@@ -1431,15 +1439,12 @@ def build_fused_multi_step(simulation: "Simulation",
             # the fix-up rewrites
             from .hybrid_outlets import build_hybrid_fixup
             try:
-                fixup, h_axis, rewritten = build_hybrid_fixup(
+                fixup, regions = build_hybrid_fixup(
                     simulation, hybrid, n_sub=ns)
             except NotImplementedError:
                 continue
-            if nsm is not None:
-                outside = np.delete(np.asarray(nsm), rewritten,
-                                    axis=h_axis + 1)
-                if outside.any():
-                    continue  # frozen populations outside the fix-up
+            if nsm is not None and _nsm_outside_regions(nsm, regions):
+                continue  # frozen populations outside the fix-up
 
         def step(f, _ns=ns, _fix=fixup):
             out = fused_stream_collide(
