@@ -27,3 +27,15 @@ mlups = simulation(500)
 print(f"{mlups:.0f} MLUPS across {n} device(s); "
       f"mass = {float(flow.rho().sum()):.1f} "
       f"(expect {np.prod(flow.resolution)})")
+
+# a 2D (x, y) device mesh also runs the fused kernel per shard
+# (y-halo + x-halo exchange; corners ride the second exchange)
+if n % 2 == 0:
+    flow2 = lt.TaylorGreenVortex(context, [16 * n, 64, 128],
+                                 reynolds_number=1600, mach_number=0.05,
+                                 stencil=lt.D3Q19(), initialize_fneq=False)
+    decomp2 = lt.DomainDecomposition(mesh_shape=(n // 2, 2))
+    sim2 = lt.Simulation(flow2, lt.BGKCollision(
+        tau=flow2.units.relaxation_parameter_lu), [],
+        decomposition=decomp2)
+    print(f"2D mesh ({n // 2}x2): {sim2(500):.0f} MLUPS")
