@@ -23,6 +23,7 @@ collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
 decomp = lt.DomainDecomposition(mesh_shape=(n,), grid_axes=(0,))
 simulation = lt.Simulation(flow, collision, [], decomposition=decomp)
 
+simulation(8)  # compile
 mlups = simulation(500)
 print(f"{mlups:.0f} MLUPS across {n} device(s); "
       f"mass = {float(flow.rho().sum()):.1f} "

@@ -223,6 +223,11 @@ class Simulation:
         # INVOCATIONS of ``step`` (each advancing ``span`` simulation
         # steps); the unroll keeps ~32 simulation steps per carry update.
         u = max(1, 32 // span) if self.context.platform == "tpu" else 1
+        if self._step_kind == "sharded":
+            # each unrolled iteration re-traces the whole shard_map body
+            # (no trace-level CSE): 32 copies make compiles take tens of
+            # minutes; 8 still amortises the carry copy to ~1/8
+            u = min(u, max(1, 8 // span))
         if u == 1:
             return jax.lax.fori_loop(0, n, lambda _, xi: step(xi), x)
 
