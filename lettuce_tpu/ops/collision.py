@@ -129,10 +129,13 @@ class MRTCollision(Collision):
 
     def native_available(self) -> bool:
         # kernel fragment exists for the transforms with closed-form
-        # equilibrium moments
-        from ..utils.moments import D2Q9Dellar, D2Q9Lallemand, D3Q27Hermite
+        # equilibrium moments (d'Humieres computes them in-kernel as the
+        # exact moment image of feq)
+        from ..utils.moments import (D2Q9Dellar, D2Q9Lallemand,
+                                     D3Q27Hermite, D3Q19DHumieres)
         return isinstance(self.transform,
-                          (D2Q9Lallemand, D2Q9Dellar, D3Q27Hermite))
+                          (D2Q9Lallemand, D2Q9Dellar, D3Q27Hermite,
+                           D3Q19DHumieres))
 
 
 class RegularizedCollision(Collision):

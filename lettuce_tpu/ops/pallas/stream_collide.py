@@ -544,6 +544,11 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                     fct = comp[a] if n == 1 else sq[a]
                     val = fct if val is None else val * fct
                 meq.append(val * inv_pow[order - 1])
+        elif meq_kind == "from_feq":
+            # exact moment-space image of the quadratic equilibrium
+            # (D3Q19 d'Humieres): identical to the jnp transform's
+            # f-space roundtrip, one extra static matvec
+            meq = [matvec_row(M, k, feq_raw) for k in range(nq)]
         else:
             raise NotImplementedError(meq_kind)
 

@@ -10,7 +10,8 @@ def resolve_mrt_spec(collision) -> tuple:
     """Build the ("mrt", M, Minv, taus, meq_kind) kernel spec for an
     MRTCollision whose transform has a closed-form equilibrium implemented
     in the kernel (D2Q9 Lallemand / Dellar, D3Q27 tensor-Hermite)."""
-    from ..utils.moments import D2Q9Dellar, D2Q9Lallemand, D3Q27Hermite
+    from ..utils.moments import (D2Q9Dellar, D2Q9Lallemand, D3Q27Hermite,
+                                 D3Q19DHumieres)
 
     tr = collision.transform
     if isinstance(tr, D2Q9Lallemand):
@@ -19,6 +20,9 @@ def resolve_mrt_spec(collision) -> tuple:
         meq_kind = "dellar"
     elif isinstance(tr, D3Q27Hermite):
         meq_kind = "hermite27"
+    elif isinstance(tr, D3Q19DHumieres):
+        # equilibrium = exact moment image of feq, computed in-kernel
+        meq_kind = "from_feq"
     else:
         raise NotImplementedError(type(tr).__name__)
     M = tuple(tuple(float(x) for x in row) for row in np.asarray(tr.matrix))

@@ -27,12 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..stencil import D1Q3, D2Q9, D3Q27, Stencil
+from ..stencil import D1Q3, D2Q9, D3Q19, D3Q27, Stencil
 from .utility import InefficientCodeWarning, LettuceException, \
     ExperimentalWarning
 
 __all__ = ["moment_tensor", "get_default_moment_transform", "Transform",
-           "D1Q3Transform", "D2Q9Lallemand", "D2Q9Dellar", "D3Q27Hermite"]
+           "D1Q3Transform", "D2Q9Lallemand", "D2Q9Dellar", "D3Q27Hermite",
+           "D3Q19DHumieres"]
 
 
 def moment_tensor(e, multiindex):
@@ -49,6 +50,10 @@ def get_default_moment_transform(stencil: "Stencil", context: "Context"):
     if stencil == D2Q9 or isinstance(stencil, D2Q9):
         return D2Q9Lallemand(stencil if isinstance(stencil, Stencil)
                              else stencil(), context)
+    if stencil == D3Q19 or isinstance(stencil, D3Q19):
+        # beyond the reference: its d'Humieres draft is commented out
+        return D3Q19DHumieres(stencil if isinstance(stencil, Stencil)
+                              else stencil(), context)
     raise LettuceException(
         f"No default moment transform for lattice {stencil}.")
 
@@ -254,3 +259,57 @@ class D3Q27Hermite(_MatrixTransform):
                    / rho ** (order - 1))
             rows.append(val)
         return jnp.stack(rows)
+
+
+class D3Q19DHumieres(_MatrixTransform):
+    """d'Humieres et al. (2002) Gram-Schmidt basis for D3Q19: density,
+    energy, energy square, momenta with their heat fluxes, the five
+    second-order stress modes with their higher-order partners, and the
+    three antisymmetric third-order modes.
+
+    The reference carries this transform only as a commented-out draft
+    (``/root/reference/lettuce/util/moments.py:276-366``); here the
+    matrix is generated from the basis polynomials like every other
+    transform. Equilibrium moments are the EXACT moment-space image of
+    the quadratic equilibrium (no truncated closed form), so equal
+    relaxation rates reduce the MRT collision to BGK identically.
+    """
+
+    names = ["rho", "e", "eps", "jx", "qx", "jy", "qy", "jz", "qz",
+             "pxx3", "pixx3", "pww", "piww", "pxy", "pyz", "pxz",
+             "mx", "my", "mz"]
+    supported_stencils = [D3Q19]
+
+    @staticmethod
+    def _build_matrix(e):
+        ex, ey, ez = e[:, 0], e[:, 1], e[:, 2]
+        s = ex ** 2 + ey ** 2 + ez ** 2
+        return np.stack([
+            np.ones_like(ex),
+            19 * s - 30,
+            (21 * s ** 2 - 53 * s + 24) / 2,
+            ex,
+            (5 * s - 9) * ex,
+            ey,
+            (5 * s - 9) * ey,
+            ez,
+            (5 * s - 9) * ez,
+            3 * ex ** 2 - s,
+            (3 * s - 5) * (3 * ex ** 2 - s),
+            ey ** 2 - ez ** 2,
+            (3 * s - 5) * (ey ** 2 - ez ** 2),
+            ex * ey,
+            ey * ez,
+            ex * ez,
+            (ey ** 2 - ez ** 2) * ex,
+            (ez ** 2 - ex ** 2) * ey,
+            (ex ** 2 - ey ** 2) * ez,
+        ])
+
+    def equilibrium(self, m, flow: "Flow"):
+        # exact image of feq under M — XLA fuses the roundtrip, so unlike
+        # the reference's torch path there is nothing inefficient to warn
+        # about, and MRT(all taus equal) == BGK holds to roundoff
+        f = self.inverse_transform(m)
+        feq = flow.equilibrium(flow, flow.rho(f), flow.u(f))
+        return self.transform(feq)

@@ -12,7 +12,8 @@ from tests.conftest import TestFlow
 TRANSFORMS = [(lt.D1Q3Transform, lt.D1Q3),
               (lt.D2Q9Lallemand, lt.D2Q9),
               (lt.D2Q9Dellar, lt.D2Q9),
-              (lt.D3Q27Hermite, lt.D3Q27)]
+              (lt.D3Q27Hermite, lt.D3Q27),
+              (lt.D3Q19DHumieres, lt.D3Q19)]
 
 
 @pytest.mark.parametrize("transform_cls,stencil_cls", TRANSFORMS,
@@ -38,11 +39,15 @@ def test_conserved_moments_are_rho_j(transform_cls, stencil_cls,
     rng = np.random.RandomState(1)
     f = jnp.asarray(rng.rand(stencil.q, 5))
     m = np.asarray(transform.transform(f))
-    np.testing.assert_allclose(m[0], np.asarray(f).sum(axis=0), atol=1e-12)
+    np.testing.assert_allclose(m[transform.names.index("rho")],
+                               np.asarray(f).sum(axis=0), atol=1e-12)
     e = np.asarray(stencil.e, dtype=float)
-    for a in range(stencil.d):
-        np.testing.assert_allclose(m[1 + a], e[:, a] @ np.asarray(f),
-                                   atol=1e-12)
+    # momentum rows located by name (d'Humieres interleaves heat fluxes)
+    j_names = [n for n in transform.names if n in ("j", "jx", "jy", "jz")]
+    assert len(j_names) == stencil.d
+    for a, name in enumerate(j_names):
+        np.testing.assert_allclose(m[transform.names.index(name)],
+                                   e[:, a] @ np.asarray(f), atol=1e-12)
 
 
 def test_moment_equilibrium_matches_transformed_feq(fix_context):
@@ -112,5 +117,24 @@ def test_get_default_moment_transform(fix_context):
     assert isinstance(
         lt.get_default_moment_transform(lt.D2Q9(), fix_context),
         lt.D2Q9Lallemand)
+    assert isinstance(
+        lt.get_default_moment_transform(lt.D3Q19(), fix_context),
+        lt.D3Q19DHumieres)  # beyond the reference (its draft is dead code)
     with pytest.raises(lt.LettuceException):
-        lt.get_default_moment_transform(lt.D3Q19(), fix_context)
+        lt.get_default_moment_transform(lt.D3Q15(), fix_context)
+
+
+def test_d3q19_dhumieres_equal_taus_is_bgk(fix_context):
+    """The d'Humieres equilibrium is the exact moment image of feq, so
+    MRT with every relaxation rate = 1/tau reduces to BGK identically."""
+    stencil = lt.D3Q19()
+    flow = TestFlow(fix_context, resolution=[4, 4, 4], stencil=stencil)
+    rng = np.random.RandomState(5)
+    flow.f = flow.f * fix_context.convert_to_tensor(
+        rng.uniform(0.95, 1.05, size=flow.f.shape))
+    tau = 0.8
+    transform = lt.D3Q19DHumieres(stencil, fix_context)
+    mrt = lt.MRTCollision(transform, [tau] * stencil.q, fix_context)
+    bgk = lt.BGKCollision(tau=tau)
+    np.testing.assert_allclose(np.asarray(mrt(flow)),
+                               np.asarray(bgk(flow)), atol=1e-12)

@@ -630,3 +630,28 @@ def test_native_hybrid_two_outlets():
     sim_n(6)
     np.testing.assert_allclose(np.asarray(flow_n.f), np.asarray(flow_j.f),
                                rtol=0, atol=1e-13)
+
+
+def test_native_mrt_dhumieres19_fragment():
+    """D3Q19 d'Humieres MRT kernel fragment (equilibrium moments computed
+    in-kernel as the exact moment image of feq) matches the jnp MRT —
+    beyond the reference, whose d'Humieres transform is dead code and
+    whose native path has no MRT at all."""
+    import warnings
+    outs = {}
+    for native in (False, True):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        flow = lt.TaylorGreenVortex(ctx, [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+        transform = lt.D3Q19DHumieres(flow.stencil, ctx)
+        taus = [1.0, 1.2, 1.1, 1.0, 1.3, 1.0, 1.3, 1.0, 1.3,
+                0.9, 1.1, 0.9, 1.1, 0.9, 0.9, 0.9, 1.2, 1.2, 1.2]
+        sim = lt.Simulation(flow, lt.MRTCollision(transform, taus, ctx), [])
+        if native:
+            assert sim._step_kind == "pallas"
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sim(3)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)

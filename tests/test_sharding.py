@@ -333,25 +333,29 @@ def test_sharded_temporal_blocking(monkeypatch):
                                np.asarray(flow_ref.f), atol=1e-6)
 
 
-@pytest.mark.parametrize("make_collision", [
-    lambda flow: lt.SmagorinskyCollision(
-        tau=flow.units.relaxation_parameter_lu),
-    lambda flow: lt.MRTCollision(
+@pytest.mark.parametrize("make_collision,stencil_cls", [
+    (lambda flow: lt.SmagorinskyCollision(
+        tau=flow.units.relaxation_parameter_lu), lt.D3Q27),
+    (lambda flow: lt.MRTCollision(
         lt.D3Q27Hermite(flow.torch_stencil, flow.context),
         relaxation_parameters=np.full(
-            27, 1.0 / flow.units.relaxation_parameter_lu)),
-], ids=["smagorinsky", "mrt_hermite"])
-def test_sharded_les_collisions(ctx64, make_collision):
-    """BASELINE config 4 coverage: MRT / Smagorinsky LES under grid
-    sharding match the single-device step (bitwise for pointwise
-    collisions; MRT's moment-space matmul reassociates with the shard
-    shape, so it matches to f64 roundoff)."""
+            27, 1.0 / flow.units.relaxation_parameter_lu)), lt.D3Q27),
+    (lambda flow: lt.MRTCollision(
+        lt.D3Q19DHumieres(flow.torch_stencil, flow.context),
+        relaxation_parameters=np.full(
+            19, 1.0 / flow.units.relaxation_parameter_lu)), lt.D3Q19),
+], ids=["smagorinsky", "mrt_hermite", "mrt_dhumieres19"])
+def test_sharded_les_collisions(ctx64, make_collision, stencil_cls):
+    """BASELINE config 4 coverage: MRT (D3Q27 Hermite / D3Q19 d'Humieres)
+    and Smagorinsky LES under grid sharding match the single-device step
+    (bitwise for pointwise collisions; MRT's moment-space matmul
+    reassociates with the shard shape, so it matches to f64 roundoff)."""
     def make_flow():
         # minor axis deliberately not a multiple of 128 so both sides run
         # the jnp step (bitwise comparison needs identical op order)
         return lt.DecayingTurbulence(ctx64, [16, 16, 64], 400, 0.05,
-                                     k0=4, stencil=lt.D3Q27(), randseed=3,
-                                     initialize_fneq=False)
+                                     k0=4, stencil=stencil_cls(),
+                                     randseed=3, initialize_fneq=False)
 
     flow_ref = make_flow()
     sim_ref = lt.Simulation(flow_ref, make_collision(flow_ref), [])
