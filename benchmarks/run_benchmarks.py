@@ -115,6 +115,18 @@ def main():
             ctx, 128 // max(1, scale // 2), 1600, 0.05,
             stencil=lt.D3Q27(), initialize_fneq=False),
          lambda flow: lt.KBCCollision()),
+        ("mrt3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
+            initialize_fneq=False),
+         lambda flow: lt.MRTCollision(
+             lt.D3Q19DHumieres(flow.torch_stencil, flow.context),
+             [flow.units.relaxation_parameter_lu] * 19,
+             flow.context)),
+        ("smag3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
+            initialize_fneq=False),
+         lambda flow: lt.SmagorinskyCollision(
+             tau=flow.units.relaxation_parameter_lu)),
     ]
     half_configs = [
         ("tgv3d_256_d3q19_half", lambda ctx: lt.TaylorGreenVortex(

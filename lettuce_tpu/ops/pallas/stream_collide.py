@@ -1272,6 +1272,14 @@ def gate_fused_params(simulation: "Simulation",
                   # (benchmarks/sweep_kernel.py)
                   vmem_limit_mb=100 if not interpret else None,
                   interpret=interpret)
+    if collision_spec[0] == "mrt" and d == 3:
+        # the moment vector and its equilibrium keep 2q slab-sized values
+        # live — the default block overflows VMEM at q=19+ (the compile
+        # helper dies); a quarter-size block fits
+        params["block_target"] = (8, 16)
+        # re-gate the block split at the reduced target
+        plan_blocks(tuple(flow.resolution), stencil.q, flow.f.dtype,
+                    block_target=(8, 16))
     if allow_hybrid:
         params["hybrid_boundaries"] = tuple(hybrid)
     return params
