@@ -115,6 +115,15 @@ def main():
             ctx, 128 // max(1, scale // 2), 1600, 0.05,
             stencil=lt.D3Q27(), initialize_fneq=False),
          lambda flow: lt.KBCCollision()),
+        ("kbc3d_256_d3q27", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q27(),
+            initialize_fneq=False),
+         lambda flow: lt.KBCCollision()),
+        ("reg3d_256_d3q27", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q27(),
+            initialize_fneq=False),
+         lambda flow: lt.RegularizedCollision(
+             tau=flow.units.relaxation_parameter_lu)),
         ("mrt3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
             ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
             initialize_fneq=False),

@@ -23,18 +23,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(resolution=256, t_end=12.0, interval_t=0.05):
+def main(resolution=256, t_end=12.0, interval_t=0.05, collision="bgk",
+         with_enstrophy=False):
     import lettuce_tpu as lt
 
     context = lt.Context(dtype=jnp.float32, use_native=True)
     # The flow's unit system uses characteristic_length_pu = 2*pi (the full
     # domain), so nu = 2*pi / Re. The standard TGV benchmark defines
     # Re = 1/nu (L = 1, u0 = 1): pass Re * 2*pi to hit nu = 1/1600.
+    stencil = lt.D3Q27() if collision == "kbc" else lt.D3Q19()
     flow = lt.TaylorGreenVortex(context, resolution,
                                 reynolds_number=1600 * 2 * np.pi,
-                                mach_number=0.05, stencil=lt.D3Q19())
-    collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
-    simulation = lt.Simulation(flow, collision, [])
+                                mach_number=0.05, stencil=stencil)
+    if collision == "kbc":
+        op = lt.KBCCollision()
+    else:
+        op = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu)
+    simulation = lt.Simulation(flow, op, [])
 
     dt = flow.units.convert_time_to_pu(1)
     interval = max(1, int(round(interval_t / dt)))
@@ -43,6 +48,9 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
           flush=True)
 
     energy = lt.IncompressibleKineticEnergy(flow)
+    observables = [energy]
+    if with_enstrophy:
+        observables.append(lt.Enstrophy(flow))
     import time
     # segment the run into ~30 s dispatches (very long single dispatches
     # can trip the remote worker's watchdog); MLUPS is measured over the
@@ -57,7 +65,7 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
         if n == 0:
             break
         chunks.append(np.asarray(jax.device_get(
-            simulation.rollout(n, observables=[energy],
+            simulation.rollout(n, observables=observables,
                                interval=interval)), dtype=np.float64))
         done += n
         if warm_steps == 0:
@@ -77,6 +85,8 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
     i_peak = int(np.argmax(eps))
     result = {
         "resolution": resolution,
+        "collision": collision,
+        "stencil": type(stencil).__name__,
         "reynolds": 1600,
         "mach": 0.05,
         "mlups": round(mlups, 1),
@@ -86,8 +96,18 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
         "t": [round(float(x), 4) for x in t],
         "E": [round(float(x), 6) for x in E],
     }
+    if with_enstrophy:
+        # enstrophy-based dissipation eps = nu <omega^2> (the Enstrophy
+        # observable integrates omega^2 without the 1/2): an independent
+        # check on the energy-derivative estimate
+        nu = 1.0 / 1600.0
+        eps_ens = nu * records[:, 1] / vol
+        result["eps_enstrophy_peak"] = round(float(eps_ens.max()), 5)
+        result["t_enstrophy_peak"] = round(
+            float(t[int(np.argmax(eps_ens))]), 3)
+    suffix = "" if collision == "bgk" else f"_{collision}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "tgv3d_validation.json")
+                       f"tgv3d_validation{suffix}.json")
     with open(out, "w") as fh:
         json.dump(result, fh)
     print(f"peak dissipation {result['eps_peak']} at t={result['t_peak']} "
@@ -97,4 +117,5 @@ def main(resolution=256, t_end=12.0, interval_t=0.05):
 
 if __name__ == "__main__":
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(resolution=res)
+    coll = sys.argv[2] if len(sys.argv) > 2 else "bgk"
+    main(resolution=res, collision=coll, with_enstrophy=(coll == "kbc"))
