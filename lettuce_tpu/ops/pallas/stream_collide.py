@@ -1272,10 +1272,12 @@ def gate_fused_params(simulation: "Simulation",
                   # (benchmarks/sweep_kernel.py)
                   vmem_limit_mb=100 if not interpret else None,
                   interpret=interpret)
-    if collision_spec[0] == "mrt" and d == 3:
-        # the moment vector and its equilibrium keep 2q slab-sized values
-        # live — the default block overflows VMEM at q=19+ (the compile
-        # helper dies); a quarter-size block fits
+    if d == 3 and (collision_spec[0] == "mrt"
+                   or (collision_spec[0] == "reg" and stencil.q > 19)):
+        # fragments that keep many slab-sized values live (2q moments for
+        # MRT; Pi tensor + projections for regularized at q=27) overflow
+        # VMEM at the default block — the compile helper dies; a
+        # quarter-size block fits
         params["block_target"] = (8, 16)
         # re-gate the block split at the reduced target
         plan_blocks(tuple(flow.resolution), stencil.q, flow.f.dtype,
