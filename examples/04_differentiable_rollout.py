@@ -23,6 +23,7 @@ flow = make_flow()
 tau = flow.units.relaxation_parameter_lu
 collision = lt.BGKCollision(tau)
 sim = lt.Simulation(flow, collision, [])
+sim_step = sim.make_step_fn()
 
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
@@ -36,7 +37,7 @@ STEPS = 50
 
 def neural_step(params, f):
     """BGK step plus a learned, conservation-projected correction."""
-    f = sim._step(f)
+    f = sim_step(f)
     # features: populations normalised by density
     rho = jnp.sum(f, axis=0, keepdims=True)
     feat = jnp.moveaxis(f / rho, 0, -1)

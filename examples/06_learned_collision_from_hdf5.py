@@ -57,6 +57,7 @@ def train(filebase: str, epochs: int = 20, batch_size: int = 4,
         initialize_fneq=False)
     sim = lt.Simulation(
         flow, lt.BGKCollision(tau=flow.units.relaxation_parameter_lu), [])
+    sim_step = sim.make_step_fn()
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -67,7 +68,7 @@ def train(filebase: str, epochs: int = 20, batch_size: int = 4,
 
     def corrected_step(params, f):
         """One BGK step plus a learned, mass-conserving correction."""
-        f = sim._step(f)
+        f = sim_step(f)
         rho = jnp.sum(f, axis=0, keepdims=True)
         feat = jnp.moveaxis(f / rho, 0, -1)
         h = jnp.tanh(feat @ params["w1"])

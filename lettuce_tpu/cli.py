@@ -30,12 +30,17 @@ import lettuce_tpu as lt
                    "throughput).")
 @click.option("--use-native/--use-no-native", default=True,
               help="Use the fused Pallas stream-collide kernel.")
+@click.option("-i", "--device-id", type=int, default=None,
+              help="Pin to jax.devices()[i] on a multi-chip host "
+                   "(reference -i/--gpu-id parity, cli.py:29-47).")
 # reference-compatible aliases
 @click.option("--cuda/--no-cuda", "cuda", default=None, hidden=True)
 @click.option("--use-cuda_native/--use-no-cuda_native", "cuda_native",
               default=None, hidden=True)
+@click.option("--gpu-id", "gpu_id", type=int, default=None, hidden=True)
 @click.pass_context
-def main(ctx, tpu, precision, use_native, cuda, cuda_native):
+def main(ctx, tpu, precision, use_native, device_id, cuda, cuda_native,
+         gpu_id):
     """lettuce-tpu — TPU-native lattice Boltzmann framework."""
     import jax
     import jax.numpy as jnp
@@ -44,17 +49,33 @@ def main(ctx, tpu, precision, use_native, cuda, cuda_native):
         tpu = cuda
     if cuda_native is not None:
         use_native = cuda_native
+    if device_id is None and gpu_id is not None:  # reference-flag alias
+        device_id = gpu_id
 
     dtype = {"half": jnp.bfloat16, "single": jnp.float32,
              "double": jnp.float64}[precision]
     device = None
     if not tpu:
         device = "cpu"
+        # force the CPU platform so no accelerator backend is even
+        # initialised — on shared hosts, merely initialising the TPU
+        # backend claims the chip and blocks other processes
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backend already initialised in-process (tests)
     else:
         try:
             jax.devices("tpu")
         except RuntimeError:
             device = "cpu"
+    if device_id is not None:
+        pool = jax.devices(device) if device else jax.devices()
+        if not 0 <= device_id < len(pool):
+            raise click.BadParameter(
+                f"device id {device_id} out of range: "
+                f"{len(pool)} device(s) available")
+        device = pool[device_id]
     ctx.obj = lt.Context(device=device, dtype=dtype, use_native=use_native)
 
 

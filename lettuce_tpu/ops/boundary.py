@@ -236,9 +236,12 @@ class AntiBounceBackOutlet(Boundary):
     def native_available(self) -> bool:
         # runs WITH the fused kernel via the exact plane fix-up
         # (ops/pallas/hybrid_outlets.py) — the reference's native path
-        # emits nothing for outlets, forcing the slow python step
-        return type(self) in (AntiBounceBackOutlet, EquilibriumOutletP,
-                              SpongeOutlet)
+        # emits nothing for outlets, forcing the slow python step.
+        # Exact type check: user subclasses may override __call__ with
+        # physics the windowed fix-up does not replay; they must opt in
+        # by appending to HYBRID_OUTLET_TYPES (shared with the kernel
+        # gate, so both stay in sync).
+        return type(self) in HYBRID_OUTLET_TYPES
 
 
 class EquilibriumOutletP(AntiBounceBackOutlet):
@@ -409,3 +412,11 @@ class SpongeOutlet(AntiBounceBackOutlet):
             sel[self.face_axis] = slice(0, self.depth + 1)
         mask[tuple(sel)] = True
         return context.convert_to_tensor(mask)
+
+
+# Outlet types eligible for the fused-kernel hybrid fix-up
+# (ops/pallas/hybrid_outlets.py). One shared tuple keeps
+# ``native_available()`` and the kernel gate (``gate_fused_params``)
+# consistent; subclasses opt in by appending here.
+HYBRID_OUTLET_TYPES = (AntiBounceBackOutlet, EquilibriumOutletP,
+                       SpongeOutlet)

@@ -62,10 +62,16 @@ def _take_window(arr, axis: int, lo: int, width: int, n: int):
     return jnp.concatenate([first, arr[tuple(sel)]], axis=axis)
 
 
-def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
-    """Write ``values`` over the periodic window ``[lo, lo+width)``."""
+def _set_window(arr, values, axis: int, lo: int, width: int, n: int,
+                sub=None):
+    """Write ``values`` over the periodic window ``[lo, lo+width)``;
+    ``sub`` optionally restricts other (ghost-padded) axes of ``arr`` to
+    their true extents (``values`` is true-shaped there)."""
     lo %= n
     sel = [slice(None)] * arr.ndim
+    if sub:
+        for ax, s in sub.items():
+            sel[ax] = s
     if lo + width <= n:
         sel[axis] = slice(lo, lo + width)
         return arr.at[tuple(sel)].set(values)
@@ -79,12 +85,22 @@ def _set_window(arr, values, axis: int, lo: int, width: int, n: int):
 
 
 def _build_one_fixup(simulation: "Simulation", index_h: int,
-                     outlet: "Boundary", n_sub: int):
-    """Window fix-up for a single outlet; see module docstring."""
+                     outlet: "Boundary", n_sub: int, pad_plan=None):
+    """Window fix-up for a single outlet; see module docstring.
+
+    With ``pad_plan`` (ghost-image padding, ``padding.py``) the step
+    operates on padded arrays: the window is taken with the *true*
+    face-axis extent (so it never touches ghost planes there), transverse
+    ghost bands are stripped before the replay (rolls must wrap at true
+    extents), and the write-back targets the true region only — the
+    caller's post-step image refresh re-propagates the corrections.
+    """
     flow = simulation.flow
     e = np.asarray(flow.stencil.e)
     axis = outlet.face_axis          # grid axis of the outlet face
     n = int(flow.resolution[axis])
+    strip = (pad_plan.transverse_true_slices(axis, lead=1)
+             if pad_plan is not None else None)
 
     ncm_np = np.asarray(simulation.no_collision_mask)
     owned = np.nonzero(ncm_np == index_h)[axis]
@@ -116,18 +132,26 @@ def _build_one_fixup(simulation: "Simulation", index_h: int,
 
     def fixup(f_pre: jax.Array, f_kernel: jax.Array) -> jax.Array:
         f_win = _take_window(f_pre, axis + 1, win_lo, width, n)
+        if strip:
+            sel = [slice(None)] * f_win.ndim
+            for ax, s in strip.items():
+                sel[ax] = s
+            f_win = f_win[tuple(sel)]
         for _ in range(n_sub):
-            view = flow.view(f_win)
-            fpost = jnp.where(ncm_win == 0, collision(view), f_win)
+            # identical sequential composition to Simulation._step_jnp_body:
+            # each boundary reads the field updated by the previous one
+            fpost = jnp.where(ncm_win == 0, collision(flow.view(f_win)),
+                              f_win)
             for i, boundary in enumerate(boundaries, start=1):
-                fpost = jnp.where(ncm_win == i, boundary(view), fpost)
+                fpost = jnp.where(ncm_win == i, boundary(flow.view(fpost)),
+                                  fpost)
             f_win = stream(fpost, e, nsm_win)
         # targets = owned planes +- n_sub -> window-local
         # [n_sub, width - n_sub)
-        tsel = [slice(None)] * f_pre.ndim
+        tsel = [slice(None)] * f_win.ndim
         tsel[axis + 1] = slice(n_sub, width - n_sub)
         return _set_window(f_kernel, f_win[tuple(tsel)], axis + 1,
-                           win_lo + n_sub, width - 2 * n_sub, n)
+                           win_lo + n_sub, width - 2 * n_sub, n, sub=strip)
 
     rewritten = np.array([(win_lo + n_sub + k) % n
                           for k in range(width - 2 * n_sub)])
@@ -136,7 +160,7 @@ def _build_one_fixup(simulation: "Simulation", index_h: int,
 
 def build_hybrid_fixup(simulation: "Simulation",
                        hybrid: Tuple[Tuple[int, "Boundary"], ...],
-                       n_sub: int = 1):
+                       n_sub: int = 1, pad_plan=None):
     """Build the fix-up for a simulation whose kernel step froze the
     given outlet boundaries.
 
@@ -151,7 +175,8 @@ def build_hybrid_fixup(simulation: "Simulation",
     spanning the whole axis) — the caller then falls back to the jnp
     step.
     """
-    parts = [_build_one_fixup(simulation, index_h, outlet, n_sub)
+    parts = [_build_one_fixup(simulation, index_h, outlet, n_sub,
+                              pad_plan=pad_plan)
              for index_h, outlet in hybrid]
 
     if len(parts) == 1:

@@ -1,0 +1,230 @@
+"""Ghost-image padding: run the fused kernel on ANY grid resolution.
+
+The fused stream-collide kernel (``stream_collide.py``) requires the minor
+grid axis to be a multiple of 128 lanes, a y extent with a halo-aligned
+divisor, and an x extent with a reasonable block divisor. The reference's
+CUDA kernel had the same class of constraint (dims %16 / %8,
+``/root/reference/lettuce/cuda_native/_template.py:34-37``); grids that
+miss it used to fall 15-30x off the fused path here.
+
+This module removes the cliff without touching the kernel: the state is
+*padded* per axis and the pad region holds **periodic ghost images** of the
+wrap-around planes, so the kernel's modular halo wrap and lane rolls read
+exactly the values a true periodic roll at the unpadded extent would have
+read. Two modes per axis:
+
+* **tile mode** (padded extent is a whole multiple of the true extent):
+  the pad holds full periodic copies. Tiling with period n is invariant
+  under the (translation-equivariant) padded dynamics, so every ghost
+  position stays an exact image of its true source for any number of
+  steps — the padded run IS the true run, replicated.
+* **image mode**: the first/last ``depth`` ghost positions hold images of
+  the wrap sources; the middle is garbage that no valid read ever
+  consumes (pull distance per sub-step is 1, and reads stop at the image
+  band — the standard halo contamination-cone argument). Images are
+  refreshed by two static slice-copies per axis after each kernel launch.
+  Temporal blocking is capped at ``depth`` sub-steps per launch.
+
+The padding lives at the *segment* level: ``Simulation`` pads once per
+compiled segment (codec), the per-launch cost is only the tiny refresh.
+Results on the valid region are bit-identical to the unpadded kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stream_collide import LANES, YHALO, _pick_block, plan_blocks
+
+__all__ = ["PadPlan", "plan_padding"]
+
+
+class PadPlan:
+    """Padding of a grid shape to a kernel-splittable shape.
+
+    ``axes`` lists ``(axis, n, npad, tile, depth)`` for every padded grid
+    axis: true extent ``n``, padded extent ``npad``, whether the pad is a
+    full periodic tiling, and the usable ghost-image depth (number of
+    sub-steps per launch the images stay valid for).
+    """
+
+    def __init__(self, shape: Tuple[int, ...], padded: Tuple[int, ...],
+                 yhalo_rows: Optional[int] = None):
+        self.shape = tuple(int(n) for n in shape)
+        self.padded = tuple(int(n) for n in padded)
+        self.yhalo_rows = yhalo_rows
+        axes = []
+        for a, (n, m) in enumerate(zip(self.shape, self.padded)):
+            if m == n:
+                continue
+            tile = (m % n == 0)
+            depth = (m - n) if tile else min(n, (m - n) // 2)
+            axes.append((a, n, m, tile, depth))
+        self.axes = tuple(axes)
+        img = [d for (_, _, _, tile, d) in self.axes if not tile]
+        # tiled axes stay exact for any number of sub-steps
+        self.max_n_sub = min(img) if img else 1 << 30
+
+    # ------------------------------------------------------------------
+    def _image_index(self, n: int, m: int, tile: bool, depth: int
+                     ) -> np.ndarray:
+        """Source index per padded position: identity on the valid region,
+        periodic images on the ghost bands (full tiling in tile mode),
+        position 0 for the never-read middle."""
+        idx = np.arange(m)
+        if tile:
+            return idx % n
+        idx[n:] = 0
+        idx[n:n + depth] = np.arange(depth)
+        idx[m - depth:] = np.arange(n - depth, n)
+        return idx
+
+    def pad_static(self, arr, lead: int = 0) -> np.ndarray:
+        """Pad a host-side static field (masks, feq_field) with full image
+        semantics; ``lead`` counts leading non-grid axes (q)."""
+        out = np.asarray(arr)
+        for (a, n, m, tile, depth) in self.axes:
+            out = np.take(out, self._image_index(n, m, tile, depth),
+                          axis=lead + a)
+        return out
+
+    def pad_state(self, f: jax.Array, lead: int = 1) -> jax.Array:
+        """Pad a device array, filling ghost bands with periodic images
+        (differentiable: gather, whose vjp scatter-adds image cotangents
+        back onto their sources)."""
+        for (a, n, m, tile, depth) in self.axes:
+            idx = jnp.asarray(self._image_index(n, m, tile, depth))
+            f = jnp.take(f, idx, axis=lead + a)
+        return f
+
+    def unpad(self, fp: jax.Array, lead: int = 1) -> jax.Array:
+        sel = [slice(None)] * fp.ndim
+        for (a, n, _, _, _) in self.axes:
+            sel[lead + a] = slice(0, n)
+        return fp[tuple(sel)]
+
+    def refresh(self, fp: jax.Array, lead: int = 1) -> jax.Array:
+        """Rewrite the ghost bands from the valid region (post-launch).
+        Tile axes are fully re-tiled — necessary when a fix-up wrote the
+        valid region only; harmless (and cheap) otherwise."""
+        for (a, n, m, tile, depth) in self.axes:
+            axis = lead + a
+            if tile:
+                body = jax.lax.slice_in_dim(fp, 0, n, axis=axis)
+                for j in range(1, m // n):
+                    fp = jax.lax.dynamic_update_slice_in_dim(
+                        fp, body, j * n, axis)
+                continue
+            lo = jax.lax.slice_in_dim(fp, 0, depth, axis=axis)
+            fp = jax.lax.dynamic_update_slice_in_dim(fp, lo, n, axis)
+            hi = jax.lax.slice_in_dim(fp, n - depth, n, axis=axis)
+            fp = jax.lax.dynamic_update_slice_in_dim(fp, hi, m - depth, axis)
+        return fp
+
+    def codec(self, lead: int = 1):
+        return (lambda f: self.pad_state(f, lead),
+                lambda fp: self.unpad(fp, lead))
+
+    def transverse_true_slices(self, face_axis: int, lead: int = 1):
+        """Selector restricting every padded grid axis except ``face_axis``
+        to its true extent (hybrid fix-up windows)."""
+        sel = {}
+        for (a, n, _, _, _) in self.axes:
+            if a != face_axis:
+                sel[lead + a] = slice(0, n)
+        return sel
+
+    def __repr__(self):
+        return (f"PadPlan({self.shape} -> {self.padded}, "
+                f"axes={self.axes}, yhalo_rows={self.yhalo_rows})")
+
+
+def _next_multiple(n: int, unit: int, at_least: int) -> int:
+    m = max(n, at_least)
+    return ((m + unit - 1) // unit) * unit
+
+
+def _x_block_target(X: int, q: int, d: int, S: int, itemsize: int,
+                    block_target: Tuple[int, int],
+                    block_target_2d: int) -> int:
+    """The x-block target plan_blocks would use (kept in sync with
+    ``plan_blocks``)."""
+    if d == 2:
+        cap = max(8, (4 * 1024 * 1024) // (q * S * LANES * itemsize))
+        return min(block_target_2d, cap)
+    t = block_target[0]
+    if q > 19:
+        t = max(4, t * 19 // q)
+    return t
+
+
+def plan_padding(shape, q: int, dtype,
+                 block_target: Tuple[int, int] = (16, 32),
+                 block_target_2d: int = 128) -> Optional["PadPlan"]:
+    """Padding plan making ``shape`` kernel-splittable, or None when the
+    grid already is. Raises ``NotImplementedError`` only for dimensions the
+    kernel cannot do at all (d not in 2/3)."""
+    shape = tuple(int(n) for n in shape)
+    d = len(shape)
+    if d not in (2, 3):
+        raise NotImplementedError("pallas kernel supports 2D/3D only")
+    try:
+        plan_blocks(shape, q, dtype, block_target=block_target,
+                    block_target_2d=block_target_2d)
+        splittable = True
+    except NotImplementedError:
+        splittable = False
+
+    itemsize = jnp.dtype(dtype).itemsize
+    padded = list(shape)
+
+    # ---- minor axis -> multiple of 128 lanes, image depth >= 2 ----
+    minor = shape[-1]
+    if minor % LANES:
+        npad = ((minor + LANES - 1) // LANES) * LANES
+        if npad % minor and (npad - minor) < 4:
+            npad += LANES  # image mode needs pad >= 2*depth, depth >= 2
+        padded[-1] = npad
+    S = padded[-1] // LANES
+
+    # ---- halo depth: the kernel needs S | yhalo ----
+    base = 16 if jnp.dtype(dtype).itemsize == 2 else YHALO
+    yhalo_rows = None
+    if base % S:
+        yhalo_rows = ((base + S - 1) // S) * S
+    yh = yhalo_rows if yhalo_rows is not None else base
+
+    # ---- y axis (3D): needs a divisor that is a multiple of yhalo/S ----
+    if d == 3:
+        mult = max(1, yh // S)
+        by = _pick_block(shape[1], block_target[1], multiple=mult)
+        if by is None:
+            unit = mult * max(1, -(-8 // mult))  # smallest mult-multiple >=8
+            if unit > block_target[1]:
+                unit = mult
+            padded[1] = _next_multiple(shape[1] + 2, unit, shape[1] + 2)
+
+    # ---- x axis: pad when only degenerate block splits exist ----
+    tx = _x_block_target(shape[0], q, d, S, itemsize, block_target,
+                         block_target_2d)
+    bx = _pick_block(shape[0], tx)
+    if bx is not None and bx < min(8, tx):
+        unit = 8 if tx >= 8 else 4
+        padded[0] = _next_multiple(shape[0] + 2, unit, shape[0] + 2)
+
+    padded = tuple(padded)
+    if padded == shape:
+        if splittable and yhalo_rows is None:
+            return None  # the grid is fine as-is
+        # splittable without padding once yhalo_rows is adjusted
+        plan_blocks(shape, q, dtype, block_target=block_target,
+                    block_target_2d=block_target_2d, yhalo_rows=yhalo_rows)
+        return PadPlan(shape, shape, yhalo_rows=yhalo_rows)
+    # validate: the padded shape must split (programming error otherwise)
+    plan_blocks(padded, q, dtype, block_target=block_target,
+                block_target_2d=block_target_2d, yhalo_rows=yhalo_rows)
+    return PadPlan(shape, padded, yhalo_rows=yhalo_rows)

@@ -85,7 +85,7 @@ def plan_blocks(shape, q: int, dtype,
         raise NotImplementedError("minor axis must be a multiple of 128")
     S = minor // LANES
     yhalo = yhalo_rows if yhalo_rows is not None else (
-        16 if jnp.dtype(dtype) == jnp.bfloat16 else YHALO)
+        16 if jnp.dtype(dtype).itemsize == 2 else YHALO)
     if d == 2:
         # cap the output block at ~4 MB so double-buffering fits VMEM at
         # any grid size
@@ -906,7 +906,10 @@ def _stream_collide_kernel(
         _store_parts(feq_parts, feq_slab_ref, is3d, bx,
                      by * S if is3d else None, yhalo=yhalo, xhalo=n_sub)
 
-    compute_dtype = jnp.float32 if slab.dtype == jnp.bfloat16 else slab.dtype
+    # 16-bit state (bfloat16 / true float16, reference torch.float16
+    # parity ``_context.py:54``) stores half-width but computes in f32
+    compute_dtype = (jnp.float32 if jnp.dtype(slab.dtype).itemsize == 2
+                     else slab.dtype)
 
     spec = collision_spec
     if spec is None:
@@ -1157,9 +1160,8 @@ def gate_fused_params(simulation: "Simulation",
                              RegularizedCollision, SmagorinskyCollision,
                              KBCCollision, MRTCollision)
     from ..equilibrium import QuadraticEquilibrium
-    from ..boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
-                            AntiBounceBackOutlet, EquilibriumOutletP,
-                            SpongeOutlet)
+    from ..boundary import (HYBRID_OUTLET_TYPES, BounceBackBoundary,
+                            EquilibriumBoundaryPU)
 
     flow = simulation.flow
     stencil = flow.stencil
@@ -1168,7 +1170,6 @@ def gate_fused_params(simulation: "Simulation",
         raise NotImplementedError("pallas kernel supports 2D/3D only")
     if not isinstance(flow.equilibrium, QuadraticEquilibrium):
         raise NotImplementedError
-    plan_blocks(tuple(flow.resolution), stencil.q, flow.f.dtype)
 
     collision = simulation.collision
     tau_inv = None
@@ -1230,9 +1231,7 @@ def gate_fused_params(simulation: "Simulation",
     feq_b = []
     hybrid: List[Tuple[int, "Boundary"]] = []
     for index, boundary in enumerate(simulation.boundaries[1:], start=1):
-        if (allow_hybrid
-                and type(boundary) in (AntiBounceBackOutlet,
-                                       EquilibriumOutletP, SpongeOutlet)):
+        if allow_hybrid and type(boundary) in HYBRID_OUTLET_TYPES:
             # no kernel fragment: the kernel leaves these nodes frozen
             # (identity f_post); exact values patched in afterwards
             hybrid.append((index, boundary))
@@ -1279,9 +1278,16 @@ def gate_fused_params(simulation: "Simulation",
         # VMEM at the default block — the compile helper dies; a
         # quarter-size block fits
         params["block_target"] = (8, 16)
-        # re-gate the block split at the reduced target
-        plan_blocks(tuple(flow.resolution), stencil.q, flow.f.dtype,
-                    block_target=(8, 16))
+    # padding plan: None for kernel-splittable grids; otherwise the plan
+    # that makes the grid splittable via ghost-image padding (padding.py).
+    # Raises NotImplementedError only for unsupported dimensionalities.
+    from .padding import plan_padding
+    pad_plan = plan_padding(tuple(flow.resolution), stencil.q, flow.f.dtype,
+                            block_target=params.get("block_target",
+                                                    (16, 32)))
+    params["pad_plan"] = pad_plan
+    if pad_plan is not None and pad_plan.yhalo_rows is not None:
+        params["yhalo_rows"] = pad_plan.yhalo_rows
     if allow_hybrid:
         params["hybrid_boundaries"] = tuple(hybrid)
     return params
@@ -1313,6 +1319,7 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     """
     params = gate_fused_params(simulation, allow_hybrid=True)
     hybrid = params.pop("hybrid_boundaries", ())
+    pad_plan = params.pop("pad_plan", None)
     if dev_storage and params["collision_spec"][0] == "mrt":
         raise NotImplementedError("MRT fragment is not shift-invariant; "
                                   "half storage unsupported")
@@ -1320,10 +1327,17 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         raise NotImplementedError("hybrid outlet fix-up operates on f; "
                                   "half storage unsupported")
     if dev_storage:
-        # bf16 deviation storage doubles the halo depth; the block split
-        # must exist at that alignment too
-        plan_blocks(tuple(simulation.flow.resolution),
-                    simulation.flow.stencil.q, jnp.bfloat16)
+        # bf16 deviation storage doubles the halo depth; re-plan padding
+        # (and the block split) at that alignment
+        from .padding import plan_padding
+        pad_plan = plan_padding(tuple(simulation.flow.resolution),
+                                simulation.flow.stencil.q, jnp.bfloat16,
+                                block_target=params.get("block_target",
+                                                        (16, 32)))
+        params.pop("yhalo_rows", None)
+        if pad_plan is not None and pad_plan.yhalo_rows is not None:
+            params["yhalo_rows"] = pad_plan.yhalo_rows
+    padding = pad_plan if (pad_plan is not None and pad_plan.axes) else None
 
     ncm = simulation.no_collision_mask
     nsm = simulation.no_streaming_mask
@@ -1333,12 +1347,24 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     fixup = None
     if hybrid:
         from .hybrid_outlets import build_hybrid_fixup
-        fixup, regions = build_hybrid_fixup(simulation, hybrid)
+        fixup, regions = build_hybrid_fixup(simulation, hybrid,
+                                            pad_plan=padding)
         if nsm is not None and not _nsm_outside_regions(nsm, regions):
             # the fix-up overwrites the frozen planes anyway — if every
             # frozen population lives there, spare the kernel the whole
             # no-streaming input and per-q select
             nsm = None
+
+    if padding is not None:
+        # masks / per-node feq become padded static fields (full image
+        # semantics, so ghost-band nodes compute their sources' physics)
+        if ncm is not None:
+            ncm = jnp.asarray(padding.pad_static(ncm, lead=0))
+        if nsm is not None:
+            nsm = jnp.asarray(padding.pad_static(nsm, lead=1))
+        if params.get("feq_field") is not None:
+            params["feq_field"] = padding.pad_static(params["feq_field"],
+                                                     lead=1)
 
     def fused(f):
         return fused_stream_collide(
@@ -1351,12 +1377,26 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         def fused(f):  # noqa: F811 — kernel pass + exact plane fix-up
             return fixup(f, kernel_only(f))
 
+    if padding is not None:
+        inner = fused
+
+        def fused(f):  # noqa: F811 — kernel (+fix-up) then image refresh
+            return padding.refresh(inner(f))
+
     if dev_storage:
         # deviation storage is a throughput mode; gradients go through the
         # full-precision path
+        fused.pad_codec = padding.codec() if padding is not None else None
         return fused
 
     jnp_step = simulation._build_jnp_step()
+    if padding is not None:
+        # the padded twin of the jnp step: identical on the valid region,
+        # periodic images on the ghost bands (what refresh produces)
+        jnp_true = jnp_step
+
+        def jnp_step(fp):  # noqa: F811
+            return padding.pad_state(jnp_true(padding.unpad(fp)))
 
     @jax.custom_vjp
     def step(f):
@@ -1370,7 +1410,12 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         return vjp(ct)
 
     step.defvjp(step_fwd, step_bwd)
-    return step
+
+    def stepped(f):
+        return step(f)
+
+    stepped.pad_codec = padding.codec() if padding is not None else None
+    return stepped
 
 
 def build_fused_multi_step(simulation: "Simulation",
@@ -1396,6 +1441,8 @@ def build_fused_multi_step(simulation: "Simulation",
     except NotImplementedError:
         return None
     hybrid = params.pop("hybrid_boundaries", ())
+    pad_plan = params.pop("pad_plan", None)
+    params.pop("yhalo_rows", None)  # re-derived below from the plan
     if hybrid and dev_storage:
         return None  # the outlet fix-up operates on f, not deviations
     nsm = simulation.no_streaming_mask
@@ -1406,9 +1453,23 @@ def build_fused_multi_step(simulation: "Simulation",
     if dev_storage and params["collision_spec"][0] == "mrt":
         return None
 
-    shape = tuple(simulation.flow.resolution)
     q = simulation.flow.stencil.q
     dtype = jnp.bfloat16 if dev_storage else simulation.flow.f.dtype
+    if dev_storage:
+        from .padding import plan_padding
+        try:
+            pad_plan = plan_padding(tuple(simulation.flow.resolution), q,
+                                    jnp.bfloat16,
+                                    block_target=params.get("block_target",
+                                                            (16, 32)))
+        except NotImplementedError:
+            return None
+    padding = pad_plan if (pad_plan is not None and pad_plan.axes) else None
+    shape = (pad_plan.padded if padding is not None
+             else tuple(simulation.flow.resolution))
+    if padding is not None and params.get("feq_field") is not None:
+        params["feq_field"] = padding.pad_static(params["feq_field"],
+                                                 lead=1)
 
     if env is not None:
         candidates = [int(env)]
@@ -1422,19 +1483,23 @@ def build_fused_multi_step(simulation: "Simulation",
     else:
         # f32 peaks at n_sub=4 (8644 MLUPS vs 5693 at n_sub=2)
         candidates = [4, 2]
+    if padding is not None:
+        # ghost images stay valid for max_n_sub in-slab sub-steps
+        candidates = [ns for ns in candidates if ns <= padding.max_n_sub]
 
     # bf16's tile-derived 16-row halo costs ~8% throughput; the 8-row halo
     # is sub-tile for bf16 but measured faster (8500 vs 7867 MLUPS) and
     # bitwise-verified — use it whenever the depth constraints allow
-    yhalo_rows = None
-    if dev_storage:
+    yhalo_rows = pad_plan.yhalo_rows if pad_plan is not None else None
+    if dev_storage and yhalo_rows is None:
         S_minor = shape[-1] // LANES
         if YHALO % max(1, S_minor) == 0 and all(
                 ns * S_minor <= YHALO for ns in candidates if ns > 1):
             yhalo_rows = YHALO
     try:
-        bx, by, yhalo, S = plan_blocks(shape, q, dtype,
-                                       yhalo_rows=yhalo_rows)
+        bx, by, yhalo, S = plan_blocks(
+            shape, q, dtype, yhalo_rows=yhalo_rows,
+            block_target=params.get("block_target", (16, 32)))
     except NotImplementedError:
         return None
     for ns in candidates:
@@ -1446,6 +1511,8 @@ def build_fused_multi_step(simulation: "Simulation",
             continue
 
         ncm = simulation.no_collision_mask
+        if padding is not None and ncm is not None:
+            ncm = jnp.asarray(padding.pad_static(ncm, lead=0))
 
         fixup = None
         if hybrid:
@@ -1455,7 +1522,7 @@ def build_fused_multi_step(simulation: "Simulation",
             from .hybrid_outlets import build_hybrid_fixup
             try:
                 fixup, regions = build_hybrid_fixup(
-                    simulation, hybrid, n_sub=ns)
+                    simulation, hybrid, n_sub=ns, pad_plan=padding)
             except NotImplementedError:
                 continue
             if nsm is not None and _nsm_outside_regions(nsm, regions):
@@ -1465,7 +1532,12 @@ def build_fused_multi_step(simulation: "Simulation",
             out = fused_stream_collide(
                 f, no_collision_mask=ncm, dev_storage=dev_storage,
                 n_sub=_ns, yhalo_rows=yhalo_rows, **params)
-            return out if _fix is None else _fix(f, out)
+            if _fix is not None:
+                out = _fix(f, out)
+            if padding is not None:
+                out = padding.refresh(out)
+            return out
 
+        step.pad_codec = padding.codec() if padding is not None else None
         return step, ns
     return None

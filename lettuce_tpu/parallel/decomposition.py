@@ -306,6 +306,8 @@ class DomainDecomposition:
         except NotImplementedError:
             return None
         params.pop("feq_field", None)
+        if params.pop("pad_plan", None) is not None:
+            return None  # ghost-image padding not composed with sharding
 
         d = flow.stencil.d
         n_shards = self.mesh_shape[0]
@@ -328,7 +330,10 @@ class DomainDecomposition:
         else:
             ext_shape = (local_x + 2 * n_sub,) + tuple(flow.resolution[1:])
         try:
-            bx, _, yhalo, S = plan_blocks(ext_shape, q, dtype)
+            # same block target the kernel will re-plan with at trace time
+            bx, _, yhalo, S = plan_blocks(
+                ext_shape, q, dtype,
+                block_target=params.get("block_target", (16, 32)))
             if bx % n_sub != 0 or (d == 3 and n_sub * S > yhalo):
                 return None
         except NotImplementedError:
@@ -398,6 +403,9 @@ class DomainDecomposition:
             raise NotImplementedError
         params = gate_fused_params(simulation)
         params.pop("feq_field", None)
+        if params.pop("pad_plan", None) is not None:
+            raise NotImplementedError(
+                "ghost-image padding not composed with sharding")
         if dev and params["collision_spec"][0] == "mrt":
             raise NotImplementedError
 
@@ -411,7 +419,8 @@ class DomainDecomposition:
         if ly <= hy or lx < 2:
             raise NotImplementedError("shards smaller than the halo")
         ext_shape = (lx + 2, ly + 2 * hy, nz)
-        plan_blocks(ext_shape, flow.stencil.q, dtype)
+        plan_blocks(ext_shape, flow.stencil.q, dtype,
+                    block_target=params.get("block_target", (16, 32)))
 
         ncm = simulation.no_collision_mask
         nsm = simulation.no_streaming_mask
@@ -536,6 +545,9 @@ class DomainDecomposition:
                 # the combined feq field is a shard_map operand, sliced per
                 # shard — not a baked-in global constant
                 params.pop("feq_field", None)
+                if params.pop("pad_plan", None) is not None:
+                    raise NotImplementedError(
+                        "ghost-image padding not composed with sharding")
                 if dev and params["collision_spec"][0] == "mrt":
                     raise NotImplementedError
                 native_step = self._native_local_step(

@@ -261,7 +261,7 @@ def mean_analytic_error(simulation, num_steps: int):
         err_p = jnp.linalg.norm(view.p_pu - pref) / denom
         return jnp.stack([err_u, err_p])
 
-    step = simulation._step
+    step = simulation.make_step_fn()
 
     def body(f, i):
         f = step(f)

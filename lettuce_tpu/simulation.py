@@ -249,18 +249,50 @@ class Simulation:
             n = n - k * span
         return self._loop(single, x, n)
 
-    def _run_steps(self, f: jax.Array, n) -> jax.Array:
+    def _select_steps(self):
+        """(encode, decode, step, multi) for the throughput path. The
+        codec composes bf16 deviation storage with the fused kernel's
+        ghost-image padding (``ops/pallas/padding.py``): state converts
+        once per compiled segment, not per step."""
         if self._step_dev is not None:
+            step, multi = self._step_dev, self._step_dev_multi
             if self._dev_codec is not None:
-                encode, decode = self._dev_codec
+                enc0, dec0 = self._dev_codec
             else:
-                w_b = jnp.asarray(self._w_dev, f.dtype)
-                encode = lambda x: (x - w_b).astype(jnp.bfloat16)
-                decode = lambda g: g.astype(jnp.float32) + w_b
-            g = encode(f)
-            g = self._run_mixed(g, n, self._step_dev_multi, self._step_dev)
-            return decode(g)
-        return self._run_mixed(f, n, self._step_multi, self._step)
+                w_b = jnp.asarray(self._w_dev, self.flow.f.dtype)
+                enc0 = lambda x: (x - w_b).astype(jnp.bfloat16)
+                dec0 = lambda g: g.astype(jnp.float32) + w_b
+            pad = getattr(step, "pad_codec", None)
+            if pad is None:
+                return enc0, dec0, step, multi
+            p, u = pad
+            return (lambda x: enc0(p(x)), lambda g: dec0(u(g)), step, multi)
+        step, multi = self._step, self._step_multi
+        pad = getattr(step, "pad_codec", None)
+        if pad is not None:
+            return pad[0], pad[1], step, multi
+        ident = lambda x: x
+        return ident, ident, step, multi
+
+    def make_step_fn(self):
+        """A single collide-and-stream step as a pure function on the
+        PUBLIC (unpadded) state shape — for custom loops (learned
+        collisions, differentiable rollouts). When the fused kernel runs
+        with ghost-image padding, the state is padded/unpadded around each
+        call; for throughput loops prefer ``simulation(n)`` / ``rollout``,
+        which convert once per compiled segment."""
+        step = self._step
+        pad = getattr(step, "pad_codec", None)
+        if pad is None:
+            return step
+        p, u = pad
+        return lambda f: u(step(p(f)))
+
+    def _run_steps(self, f: jax.Array, n) -> jax.Array:
+        encode, decode, step, multi = self._select_steps()
+        g = encode(f)
+        g = self._run_mixed(g, n, multi, step)
+        return decode(g)
 
     # ------------------------------------------------------------------
     # public API
@@ -306,9 +338,14 @@ class Simulation:
 
         # one compiled program per (shape of the scan, observable set) —
         # repeated segment-wise calls (e.g. long validation runs) would
-        # otherwise retrace and recompile every call
+        # otherwise retrace and recompile every call. Observables are
+        # captured at first call: the key holds weakrefs (not ids, which
+        # the allocator may reuse after garbage collection), and the cache
+        # keeps only the last few entries so long-lived simulations with
+        # varying segment shapes don't pin compiled programs forever.
+        import weakref
         cache_key = (n_chunks, rem, interval,
-                     tuple(id(o) for o in observables))
+                     tuple(weakref.ref(o) for o in observables))
         if not hasattr(self, "_rollout_cache"):
             self._rollout_cache = {}
         cached = self._rollout_cache.get(cache_key)
@@ -317,19 +354,10 @@ class Simulation:
             self.flow.i += num_steps
             return records
 
-        # honour bf16 deviation storage: step in g-space, decode only for
-        # the (tiny) observable evaluations
-        if self._step_dev is not None:
-            step, multi = self._step_dev, self._step_dev_multi
-            if self._dev_codec is not None:
-                encode, decode = self._dev_codec
-            else:
-                w_b = jnp.asarray(self._w_dev, self.flow.f.dtype)
-                encode = lambda x: (x - w_b).astype(jnp.bfloat16)
-                decode = lambda g: g.astype(jnp.float32) + w_b
-        else:
-            step, multi = self._step, self._step_multi
-            encode = decode = lambda x: x
+        # honour bf16 deviation storage and ghost-image padding: step in
+        # the encoded space, decode only for the (tiny) observable
+        # evaluations
+        encode, decode, step, multi = self._select_steps()
 
         obs_dtype = self.flow.f.dtype
 
@@ -351,6 +379,8 @@ class Simulation:
                 g = jax.lax.fori_loop(0, rem, lambda _, gi: step(gi), g)
             return decode(g), records
 
+        if len(self._rollout_cache) >= 8:  # bound compiled-program memory
+            self._rollout_cache.pop(next(iter(self._rollout_cache)))
         self._rollout_cache[cache_key] = run
         self.flow.f, records = run(self.flow.f)
         self.flow.i += num_steps

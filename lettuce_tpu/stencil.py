@@ -48,12 +48,6 @@ class Stencil:
         return f"{type(self).__name__}(d={self.d}, q={self.q})"
 
 
-def _axes_perms(base):
-    """All signed axis-aligned permutations helper (not used; stencils are
-    written out explicitly to keep q-ordering identical to the reference)."""
-    raise NotImplementedError
-
-
 class D1Q3(Stencil):
     _e = [[0], [1], [-1]]
     _w = [2 / 3] + [1 / 6] * 2

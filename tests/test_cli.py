@@ -40,3 +40,22 @@ def test_cli_tiny_benchmark_runs():
                                   "-s", "2"])
     assert result.exit_code == 0, result.output
     assert "MLUPS" in result.output
+
+
+def test_cli_device_pinning():
+    """-i/--device-id pins to jax.devices()[i] (reference -i/--gpu-id
+    parity); out-of-range ids are rejected with a clear error."""
+    runner = CliRunner()
+    result = runner.invoke(main, ["--no-tpu", "-i", "1", "benchmark",
+                                  "-r", "16", "-s", "2"])
+    assert result.exit_code == 0, result.output  # conftest gives 8 CPUs
+    assert "MLUPS" in result.output
+
+    result = runner.invoke(main, ["--no-tpu", "--gpu-id", "2", "benchmark",
+                                  "-r", "16", "-s", "2"])
+    assert result.exit_code == 0, result.output  # reference alias
+
+    result = runner.invoke(main, ["--no-tpu", "-i", "99", "benchmark",
+                                  "-r", "16", "-s", "2"])
+    assert result.exit_code == 2
+    assert "out of range" in result.output

@@ -289,24 +289,28 @@ def test_native_step_differentiable():
     np.testing.assert_allclose(grads[True], grads[False], atol=1e-5)
 
 
-def test_native_fallback_on_unsplittable_grid(capsys):
-    """A grid with no tile-aligned block split (y=12 has no divisor that is
-    a multiple of yhalo=8) falls back to the jnp path cleanly instead of
-    crashing inside pallas_call grid math."""
-    flow = lt.TaylorGreenVortex(_ctx(True), [8, 12, 128], 100, 0.05,
-                                stencil=lt.D3Q19(), initialize_fneq=False)
-    sim = lt.Simulation(flow, lt.BGKCollision(
-        flow.units.relaxation_parameter_lu), [])
-    assert sim._step_kind == "jnp"
-    assert "falling back" in capsys.readouterr().out
-    sim(2)
-    assert np.all(np.isfinite(np.asarray(flow.f)))
+def test_native_formerly_unsplittable_grid_now_padded():
+    """A grid with no tile-aligned y block split (y=12 has no divisor that
+    is a multiple of yhalo=8) used to fall back to the jnp path; with
+    ghost-image padding (round 3) the kernel engages and matches."""
+    outs = {}
+    for native in (False, True):
+        flow = lt.TaylorGreenVortex(_ctx(native), [8, 12, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [])
+        if native:
+            assert sim._step_kind == "pallas"
+        sim(2)
+        outs[native] = np.asarray(flow.f)
+    np.testing.assert_allclose(outs[True], outs[False], atol=5e-6)
 
 
-def test_half_storage_fallback_on_unsplittable_grid():
+def test_half_storage_on_formerly_unsplittable_grid():
     """bf16 deviation storage doubles the halo depth (yhalo=16): a y extent
-    of 8 supports the f32 kernel but not the bf16 one — half_storage must
-    degrade to full precision with a warning, not crash."""
+    of 8 supports the f32 kernel but used to reject the bf16 one — with
+    ghost-image padding both engage (no degradation warning)."""
     import warnings
     flow = lt.TaylorGreenVortex(_ctx(True), [16, 8, 128], 100, 0.05,
                                 stencil=lt.D3Q19(), initialize_fneq=False)
@@ -314,9 +318,22 @@ def test_half_storage_fallback_on_unsplittable_grid():
         warnings.simplefilter("always")
         sim = lt.Simulation(flow, lt.BGKCollision(
             flow.units.relaxation_parameter_lu), [], half_storage=True)
-    assert sim._step_kind == "pallas"  # the f32 kernel still engages
-    assert sim._step_dev is None
-    assert any("full precision" in str(w.message) for w in rec)
+    assert sim._step_kind == "pallas"
+    assert sim._step_dev is not None
+    assert not any("full precision" in str(w.message) for w in rec)
+    sim(2)
+    assert np.all(np.isfinite(np.asarray(flow.f)))
+
+
+def test_native_fallback_on_unsupported_equilibrium(capsys):
+    """Configurations the kernel genuinely cannot run (here: the He-Luo
+    incompressible equilibrium, which has no kernel fragment) still fall
+    back to the jnp path cleanly with a warning."""
+    flow = TestFlow(_ctx(True), resolution=[16, 128], stencil=lt.D2Q9())
+    flow.equilibrium = lt.IncompressibleQuadraticEquilibrium()
+    sim = lt.Simulation(flow, lt.BGKCollision(0.8), [])
+    assert sim._step_kind == "jnp"
+    assert "does not support" in capsys.readouterr().out
     sim(2)
     assert np.all(np.isfinite(np.asarray(flow.f)))
 
@@ -336,6 +353,23 @@ def test_plain_bf16_state():
     f = np.asarray(flow.f, dtype=np.float32)
     assert np.all(np.isfinite(f))
     # mass conserved to bf16 rounding
+    np.testing.assert_allclose(f.sum(), 16 * 128, rtol=2e-2)
+
+
+def test_plain_f16_state():
+    """True float16 state (reference torch.float16 parity,
+    ``/root/reference/lettuce/_context.py:54``): the kernel stores f16
+    and computes in f32. Same support level as plain bf16 — sanity and
+    mass conservation to half-precision rounding."""
+    ctx = lt.Context(dtype=jnp.float16, use_native=True)
+    flow = lt.TaylorGreenVortex(ctx, [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [])
+    assert sim._step_kind == "pallas"
+    sim(10)
+    f = np.asarray(flow.f, dtype=np.float32)
+    assert np.all(np.isfinite(f))
     np.testing.assert_allclose(f.sum(), 16 * 128, rtol=2e-2)
 
 
