@@ -45,7 +45,7 @@ import numpy as np
 
 from ..streaming import stream
 
-__all__ = ["build_hybrid_fixup"]
+__all__ = ["build_hybrid_fixup", "build_hybrid_fixup_sharded"]
 
 
 def _take_window(arr, axis: int, lo: int, width: int, n: int):
@@ -156,6 +156,99 @@ def _build_one_fixup(simulation: "Simulation", index_h: int,
     rewritten = np.array([(win_lo + n_sub + k) % n
                           for k in range(width - 2 * n_sub)])
     return fixup, axis, rewritten
+
+
+def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
+                             outlet: "Boundary", pernode, shard_axis: int):
+    """Shard-local window fix-up for one outlet (``shard_map`` body).
+
+    Same windowed replay as :func:`_build_one_fixup`, with two
+    differences forced by running inside ``shard_map``:
+
+    * masks and the combined per-node equilibrium field arrive as
+      *runtime operands* (the local shard of each), so the window slices
+      are taken at call time instead of baked in as constants — the
+      window geometry itself is static because the face axis is required
+      to be complete on every shard (``shard_step`` asserts it);
+    * per-node equilibrium boundaries are replaced from the combined feq
+      operand (their prescribed fields are global-shaped), mirroring the
+      sharded jnp path's composition.
+
+    The replay's streaming wraps periodically over the *local* shard, so
+    its result is wrong on the first/last plane along ``shard_axis`` —
+    the caller's ppermute edge-plane fix overwrites exactly those planes
+    afterwards with globally-correct values (which include every
+    boundary, applied on the neighbour's edge slab).
+    """
+    flow = simulation.flow
+    e = np.asarray(flow.stencil.e)
+    axis = outlet.face_axis
+    assert axis != shard_axis
+    n = int(flow.resolution[axis])
+    n_sub = 1
+
+    ncm_np = np.asarray(simulation.no_collision_mask)
+    owned = np.nonzero(ncm_np == index_h)[axis]
+    if owned.size == 0:
+        raise NotImplementedError("outlet owns no nodes (mask overlap)")
+    pos = np.unique(owned)
+    lo_p, hi_p = int(pos.min()), int(pos.max())
+    if hi_p - lo_p + 1 != len(pos):
+        raise NotImplementedError("outlet planes are not contiguous")
+    win_lo = lo_p - 2 * n_sub
+    width = (hi_p - lo_p + 1) + 4 * n_sub
+    if width >= n:
+        raise NotImplementedError("fix-up window spans the whole axis")
+
+    boundaries: List = [
+        b.window_view(axis, win_lo, width, n)
+        if hasattr(b, "window_view") else b
+        for b in simulation.boundaries[1:]]
+    collision = simulation.collision
+
+    def fixup(f_pre, f_kernel, ncm_l, nsm_l, feq_l):
+        f_win = _take_window(f_pre, axis + 1, win_lo, width, n)
+        ncm_win = _take_window(ncm_l, axis, win_lo, width, n)
+        nsm_win = (None if nsm_l is None else
+                   _take_window(nsm_l, axis + 1, win_lo, width, n))
+        feq_win = (None if feq_l is None else
+                   _take_window(feq_l, axis + 1, win_lo, width, n))
+        fpost = jnp.where(ncm_win == 0, collision(flow.view(f_win)), f_win)
+        for i, boundary in enumerate(boundaries, start=1):
+            if i in pernode:
+                fpost = jnp.where(ncm_win == i, feq_win, fpost)
+            else:
+                fpost = jnp.where(ncm_win == i, boundary(flow.view(fpost)),
+                                  fpost)
+        f_win = stream(fpost, e, nsm_win)
+        tsel = [slice(None)] * f_win.ndim
+        tsel[axis + 1] = slice(n_sub, width - n_sub)
+        return _set_window(f_kernel, f_win[tuple(tsel)], axis + 1,
+                           win_lo + n_sub, width - 2 * n_sub, n)
+
+    return fixup
+
+
+def build_hybrid_fixup_sharded(simulation: "Simulation",
+                               hybrid, pernode, shard_axis: int):
+    """Shard-local fix-up for every frozen outlet; see
+    :func:`_build_one_fixup_sharded`. Returns
+    ``fixup(f_pre, f_kernel, ncm_l, nsm_l, feq_l)`` or raises
+    ``NotImplementedError`` for configurations outside the windowed
+    formulation (caller falls back to the jnp sharded step)."""
+    parts = [_build_one_fixup_sharded(simulation, index_h, outlet,
+                                      pernode, shard_axis)
+             for index_h, outlet in hybrid]
+    if len(parts) == 1:
+        return parts[0]
+
+    def fixup(f_pre, f_kernel, ncm_l, nsm_l, feq_l):
+        out = f_kernel
+        for one in parts:
+            out = one(f_pre, out, ncm_l, nsm_l, feq_l)
+        return out
+
+    return fixup
 
 
 def build_hybrid_fixup(simulation: "Simulation",

@@ -107,11 +107,36 @@ class PadPlan:
             sel[lead + a] = slice(0, n)
         return fp[tuple(sel)]
 
-    def refresh(self, fp: jax.Array, lead: int = 1) -> jax.Array:
+    @property
+    def minor_image(self):
+        """``(n_true, depth)`` when the minor axis is image-mode padded —
+        the fused kernel then rewrites the image bands in VMEM
+        (``stream_collide._minor_image_fix``) instead of the jnp refresh,
+        whose lane-misaligned update-slice costs a full relayout pass.
+        Tile-mode minors are self-consistent and need neither."""
+        d = len(self.shape)
+        for (a, n, _, tile, depth) in self.axes:
+            if a == d - 1 and not tile:
+                return (n, depth)
+        return None
+
+    @property
+    def leading_axes_padded(self) -> bool:
+        d = len(self.shape)
+        return any(a != d - 1 for (a, *_r) in self.axes)
+
+    def refresh(self, fp: jax.Array, lead: int = 1,
+                skip_minor: bool = False) -> jax.Array:
         """Rewrite the ghost bands from the valid region (post-launch).
         Tile axes are fully re-tiled — necessary when a fix-up wrote the
-        valid region only; harmless (and cheap) otherwise."""
+        valid region only; harmless (and cheap) otherwise. With
+        ``skip_minor`` the minor axis is left to the kernel's in-VMEM
+        image fix (leading-axis slice updates are tile-aligned and
+        cheap; minor-lane updates are not)."""
+        d = len(self.shape)
         for (a, n, m, tile, depth) in self.axes:
+            if skip_minor and a == d - 1:
+                continue
             axis = lead + a
             if tile:
                 body = jax.lax.slice_in_dim(fp, 0, n, axis=axis)
@@ -191,11 +216,15 @@ def plan_padding(shape, q: int, dtype,
         padded[-1] = npad
     S = padded[-1] // LANES
 
-    # ---- halo depth: the kernel needs S | yhalo ----
+    # ---- halo depth: the kernel needs S | yhalo, and the halo block's
+    # row count must be a multiple of 8 rows — Pallas rejects block
+    # shapes whose second-minor dim is not (observed on real TPU, any
+    # dtype; interpret mode does not check) ----
     base = 16 if jnp.dtype(dtype).itemsize == 2 else YHALO
+    align = (S * 8) // np.gcd(S, 8)  # lcm(S, 8)
     yhalo_rows = None
-    if base % S:
-        yhalo_rows = ((base + S - 1) // S) * S
+    if base % align:
+        yhalo_rows = ((base + align - 1) // align) * align
     yh = yhalo_rows if yhalo_rows is not None else base
 
     # ---- y axis (3D): needs a divisor that is a multiple of yhalo/S ----
@@ -203,7 +232,7 @@ def plan_padding(shape, q: int, dtype,
         mult = max(1, yh // S)
         by = _pick_block(shape[1], block_target[1], multiple=mult)
         if by is None:
-            unit = mult * max(1, -(-8 // mult))  # smallest mult-multiple >=8
+            unit = mult * max(1, -(-8 // mult))  # mult-multiple >= 8
             if unit > block_target[1]:
                 unit = mult
             padded[1] = _next_multiple(shape[1] + 2, unit, shape[1] + 2)

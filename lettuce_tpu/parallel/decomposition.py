@@ -177,17 +177,28 @@ class DomainDecomposition:
     def _native_local_step(self, simulation: "Simulation", params: dict,
                            axis_name: str, n_shards: int,
                            pernode: Tuple[int, ...] = (),
-                           dev: bool = False):
+                           dev: bool = False, shard_axis: int = 0,
+                           hybrid_fixup=None):
         """Per-shard fused-Pallas step with halo fix-up.
 
         The fused kernel runs on the local shard with *locally periodic*
         topology — its pull-streaming wraps at the shard edges, which is
-        wrong only on the first x-plane (for e_x = +1 populations) and the
-        last (e_x = -1). Those planes are corrected afterwards: each shard
-        collides its own edge planes pointwise (jnp), sends them to the
-        neighbours over ICI (`ppermute`), and overwrites the two planes
-        with the received post-collision values shifted in the remaining
-        directions — exactly what a globally periodic pull would have read.
+        wrong only on the first plane along the sharded grid axis (for
+        e = +1 populations) and the last (e = -1). Those planes are
+        corrected afterwards: each shard collides its own edge planes
+        pointwise (jnp), sends them to the neighbours over ICI
+        (`ppermute`), and overwrites the two planes with the received
+        post-collision values shifted in the remaining directions —
+        exactly what a globally periodic pull would have read.
+
+        With ``hybrid_fixup`` (outlet boundaries frozen by the kernel,
+        ``hybrid_outlets.build_hybrid_fixup_sharded``) the windowed
+        replay rewrites the outlet planes between the kernel pass and
+        the edge fix; the edge fix then overwrites the replay's two
+        locally-wrapped shard-edge planes with exact values (the
+        neighbour's edge-slab collision applies every boundary,
+        including the outlets — their face axis is complete on any
+        slab along the sharded axis).
         """
         import numpy as np_
 
@@ -196,8 +207,16 @@ class DomainDecomposition:
         boundaries = simulation.boundaries
         e = np_.asarray(flow.stencil.e)
         q, d = e.shape
-        fwd = _ring_perm(n_shards, 1)    # data moves +x
+        ax = shard_axis                  # grid axis; array axis is ax+1
+        fwd = _ring_perm(n_shards, 1)    # data moves toward +axis
         bwd = _ring_perm(n_shards, -1)
+
+        def plane(arr, lead: int, last: bool):
+            sel = [slice(None)] * arr.ndim
+            n_loc = arr.shape[ax + lead]
+            sel[ax + lead] = (slice(n_loc - 1, n_loc) if last
+                              else slice(0, 1))
+            return arr[tuple(sel)]
 
         def collide_local(f, ncm_l, feq_l=None):
             """Pointwise collide + mask composition (valid on any slab).
@@ -227,45 +246,53 @@ class DomainDecomposition:
                 f, no_collision_mask=ncm_l, no_streaming_mask=nsm_l,
                 feq_field=feq_l, dev_storage=dev, **params)
 
+            if hybrid_fixup is not None:
+                out = hybrid_fixup(f, out, ncm_l, nsm_l, feq_l)
+
             # post-collision edge planes of THIS shard (collision runs in
             # f-space; deviation storage decodes/encodes the tiny planes)
-            last = f.shape[1] - 1
-            ncm_first = None if ncm_l is None else ncm_l[:1]
-            ncm_last = None if ncm_l is None else ncm_l[last:]
-            feq_first = None if feq_l is None else feq_l[:, :1]
-            feq_last = None if feq_l is None else feq_l[:, last:]
+            ncm_first = None if ncm_l is None else plane(ncm_l, 0, False)
+            ncm_last = None if ncm_l is None else plane(ncm_l, 0, True)
+            feq_first = None if feq_l is None else plane(feq_l, 1, False)
+            feq_last = None if feq_l is None else plane(feq_l, 1, True)
             if dev:
                 dec = lambda p: p.astype(jnp.float32) + w_b
                 enc = lambda p: (p - w_b).astype(f.dtype)
             else:
                 dec = enc = lambda p: p
-            fp_first = enc(collide_local(dec(f[:, :1]), ncm_first,
+            fp_first = enc(collide_local(dec(plane(f, 1, False)), ncm_first,
                                          feq_first))
-            fp_last = enc(collide_local(dec(f[:, last:]), ncm_last,
+            fp_last = enc(collide_local(dec(plane(f, 1, True)), ncm_last,
                                         feq_last))
 
-            # exchange: my last plane -> right neighbour; first -> left
+            # exchange: my last plane -> next neighbour; first -> previous
             recv_left = jax.lax.ppermute(fp_last, axis_name, fwd)
             recv_right = jax.lax.ppermute(fp_first, axis_name, bwd)
 
-            roll_axes = tuple(range(d - 1))  # plane axes (y[, z])
+            # remaining grid axes of the received singleton-axis planes
+            rest_axes = tuple(i for i in range(d) if i != ax)
+            psel = [slice(None)] * d
+            psel[ax] = slice(0, 1)
+            first_sel = tuple(psel)
+            psel[ax] = slice(f.shape[ax + 1] - 1, f.shape[ax + 1])
+            last_sel = tuple(psel)
             for qi in range(q):
-                ex = int(e[qi, 0])
-                if ex == 0:
+                ea = int(e[qi, ax])
+                if ea == 0:
                     continue
-                rest = tuple(int(s) for s in e[qi, 1:])
-                if ex == 1:
-                    fixed = jnp.roll(recv_left[qi, 0], rest, axis=roll_axes)
+                rest = tuple(int(e[qi, i]) for i in rest_axes)
+                if ea == 1:
+                    fixed = jnp.roll(recv_left[qi], rest, axis=rest_axes)
                     if nsm_l is not None:
-                        fixed = jnp.where(nsm_l[qi, 0], out[qi, 0], fixed)
-                    out = out.at[qi, 0].set(fixed)
+                        fixed = jnp.where(nsm_l[(qi,) + first_sel],
+                                          out[(qi,) + first_sel], fixed)
+                    out = out.at[(qi,) + first_sel].set(fixed)
                 else:
-                    fixed = jnp.roll(recv_right[qi, 0], rest,
-                                     axis=roll_axes)
+                    fixed = jnp.roll(recv_right[qi], rest, axis=rest_axes)
                     if nsm_l is not None:
-                        fixed = jnp.where(nsm_l[qi, last], out[qi, last],
-                                          fixed)
-                    out = out.at[qi, last].set(fixed)
+                        fixed = jnp.where(nsm_l[(qi,) + last_sel],
+                                          out[(qi,) + last_sel], fixed)
+                    out = out.at[(qi,) + last_sel].set(fixed)
             return out
 
         return step
@@ -536,12 +563,15 @@ class DomainDecomposition:
             except NotImplementedError:
                 pass
 
-        # try the fused-kernel local step (1D x-sharding only)
+        # try the fused-kernel local step (any single sharded axis; outlet
+        # boundaries ride the kernel via the shard-local window fix-up)
         native_step = None
-        if simulation.context.use_native and self.grid_axes == (0,):
+        hybrid = ()
+        if simulation.context.use_native and len(self.grid_axes) == 1:
             try:
                 from ..ops.pallas.stream_collide import gate_fused_params
-                params = gate_fused_params(simulation)
+                params = gate_fused_params(simulation, allow_hybrid=True)
+                hybrid = params.pop("hybrid_boundaries", ())
                 # the combined feq field is a shard_map operand, sliced per
                 # shard — not a baked-in global constant
                 params.pop("feq_field", None)
@@ -550,9 +580,34 @@ class DomainDecomposition:
                         "ghost-image padding not composed with sharding")
                 if dev and params["collision_spec"][0] == "mrt":
                     raise NotImplementedError
+                # the kernel re-plans at trace time on the LOCAL shape —
+                # verify it splits (else raise here, where the jnp
+                # fallback exists, not inside shard_map)
+                from ..ops.pallas.padding import plan_padding
+                from ..ops.pallas.stream_collide import plan_blocks
+                local_shape = list(flow.resolution)
+                local_shape[self.grid_axes[0]] //= self.mesh_shape[0]
+                ldtype = jnp.bfloat16 if dev else flow.f.dtype
+                bt = params.get("block_target", (16, 32))
+                if plan_padding(tuple(local_shape), flow.stencil.q,
+                                ldtype, block_target=bt) is not None:
+                    raise NotImplementedError(
+                        "local shard shape needs ghost-image padding")
+                plan_blocks(tuple(local_shape), flow.stencil.q, ldtype,
+                            block_target=bt)
+                fixup = None
+                if hybrid:
+                    if dev:
+                        raise NotImplementedError(
+                            "hybrid outlet fix-up operates on f")
+                    from ..ops.pallas.hybrid_outlets import (
+                        build_hybrid_fixup_sharded)
+                    fixup = build_hybrid_fixup_sharded(
+                        simulation, hybrid, pernode, self.grid_axes[0])
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
-                    self.mesh_shape[0], pernode=pernode, dev=dev)
+                    self.mesh_shape[0], pernode=pernode, dev=dev,
+                    shard_axis=self.grid_axes[0], hybrid_fixup=fixup)
             except NotImplementedError:
                 native_step = None
         if dev and native_step is None:
@@ -599,4 +654,11 @@ class DomainDecomposition:
         def step(f):
             return mapped(f, ncm_arg, nsm_arg, feq_arg)
 
+        # introspection for tests / Simulation.step_path reporting
+        if native_step is None:
+            step.step_path = "jnp"
+        elif hybrid:
+            step.step_path = "pallas+hybrid"
+        else:
+            step.step_path = "pallas"
         return step

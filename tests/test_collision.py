@@ -114,7 +114,8 @@ def test_kbc_reusable_across_traces():
                                 stencil=lt.D3Q27(), initialize_fneq=False)
     collision = lt.KBCCollision()
     sim = lt.Simulation(flow, collision, [])
-    f1 = jax.jit(sim._step)(flow.f)                       # trace 1
-    f2 = jax.jit(lambda f: sim._step(sim._step(f)))(flow.f)  # trace 2
+    step = sim.make_step_fn()  # public unpadded-shape step
+    f1 = jax.jit(step)(flow.f)                       # trace 1
+    f2 = jax.jit(lambda f: step(step(f)))(flow.f)    # trace 2
     assert np.all(np.isfinite(np.asarray(f1)))
     assert np.all(np.isfinite(np.asarray(f2)))

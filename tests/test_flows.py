@@ -159,10 +159,11 @@ def test_rollout_differentiable(fix_context):
                                 stencil=lt.D2Q9())
     sim = lt.Simulation(
         flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    step = sim.make_step_fn()  # public unpadded-shape step
 
     def loss(f):
         for _ in range(5):
-            f = sim._step(f)
+            f = step(f)
         return jnp.sum(flow.view(f).incompressible_energy())
 
     g = jax.grad(loss)(flow.f)

@@ -450,6 +450,73 @@ def test_temporal_blocking_with_boundaries(monkeypatch):
                                   np.asarray(flow_s.f))
 
 
+def test_temporal_blocking_no_streaming_mask(monkeypatch):
+    """Interior frozen populations compose with temporal blocking: the
+    mask travels as a halo'd slab input and the destination select
+    applies per sub-step (previously any no-streaming mask outside a
+    hybrid fix-up window disabled blocking entirely)."""
+    class FrozenBoundary(lt.BounceBackBoundary):
+        def make_no_streaming_mask(self, shape, context):
+            m = np.zeros(tuple(shape), dtype=bool)
+            m[:, 7:9, 30:50] = True  # interior blob
+            return context.convert_to_tensor(m)
+
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[7:9, 30:50] = True
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return TestFlow(ctx, resolution=[16, 128], stencil=lt.D2Q9(),
+                        boundaries=[FrozenBoundary(mask)])
+
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    flow_m = make()
+    sim_m = lt.Simulation(flow_m, lt.BGKCollision(0.8), [])
+    assert sim_m._step_multi is not None
+    sim_m(5)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_s = make()
+    sim_s = lt.Simulation(flow_s, lt.BGKCollision(0.8), [])
+    sim_s(5)
+
+    np.testing.assert_array_equal(np.asarray(flow_m.f),
+                                  np.asarray(flow_s.f))
+
+
+def test_temporal_blocking_no_streaming_mask_3d(monkeypatch):
+    """Same as above on a 3D grid: the frozen-destination select must
+    stay aligned through the y-halo'd, minor-merged slab geometry."""
+    class FrozenBoundary(lt.BounceBackBoundary):
+        def make_no_streaming_mask(self, shape, context):
+            m = np.zeros(tuple(shape), dtype=bool)
+            m[:, 6:9, 5:10, 40:80] = True
+            return context.convert_to_tensor(m)
+
+    mask = np.zeros((16, 16, 128), dtype=bool)
+    mask[6:9, 5:10, 40:80] = True
+
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return TestFlow(ctx, resolution=[16, 16, 128],
+                        stencil=lt.D3Q19(),
+                        boundaries=[FrozenBoundary(mask)])
+
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    flow_m = make()
+    sim_m = lt.Simulation(flow_m, lt.BGKCollision(0.8), [])
+    assert sim_m._step_multi is not None
+    sim_m(5)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_s = make()
+    sim_s = lt.Simulation(flow_s, lt.BGKCollision(0.8), [])
+    sim_s(5)
+
+    np.testing.assert_array_equal(np.asarray(flow_m.f),
+                                  np.asarray(flow_s.f))
+
+
 def test_temporal_blocking_half_storage(monkeypatch):
     """bf16 deviation storage + temporal blocking (shallow 8-row halo)
     matches the single-step bf16-dev path bitwise."""

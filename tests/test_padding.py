@@ -71,15 +71,30 @@ def test_plan_prime_x_3d_padded():
 
 
 def test_plan_y_padded_3d():
-    # y=12 has no divisor that is a multiple of yhalo=8
+    # y=12 has no divisor that is a multiple of yhalo=8 -> ghost planes
+    # (any smaller halo depth would break the 8-row sublane tile that
+    # Pallas requires of the halo block shape on real TPU)
     plan = plan_padding((8, 12, 128), 19, jnp.float32)
     assert plan.padded[1] % 8 == 0 and plan.padded[1] >= 14
+    assert plan.yhalo_rows is None
+
+
+def test_plan_y_padded_merged_minor():
+    # y=250, S=2: no divisor of 250 is a multiple of yhalo/S=4, and a
+    # k-plane halo (k | 250) would give a non-8-multiple halo block ->
+    # ghost planes on y (256), halo stays at the tile-aligned default
+    plan = plan_padding((256, 250, 256), 19, jnp.float32)
+    assert plan.padded == (256, 256, 256)
+    assert plan.yhalo_rows is None
 
 
 def test_plan_yhalo_rows_for_odd_s():
-    # minor 384 -> S=3 does not divide yhalo=8; the plan adjusts the halo
+    # minor 384 -> S=3 divides neither yhalo=8 nor the 8-row sublane
+    # tile: the halo deepens to lcm(3, 8) = 24 rows, and y pads to a
+    # multiple-of-8 extent so blocks stay 24-row-aligned
     plan = plan_padding((16, 9, 384), 19, jnp.float32)
-    assert plan.yhalo_rows is not None and plan.yhalo_rows % 3 == 0
+    assert plan.yhalo_rows == 24
+    assert plan.yhalo_rows % 3 == 0 and plan.yhalo_rows % 8 == 0
 
 
 def test_padded_state_roundtrip():
