@@ -75,6 +75,16 @@ class Boundary(ABC):
 class Flow(ABC):
     """Physical configuration and state of a simulation."""
 
+    def __init_subclass__(cls, **kwargs):
+        """Record constructor arguments (``_init_record``) so
+        ``HDF5Reporter`` can persist HOW a flow was built and
+        ``LettuceDataset.make_flow`` can rebuild it from file (the
+        reference pickles the live flow instead,
+        ``/root/reference/lettuce/util/datautils.py:112-133``)."""
+        super().__init_subclass__(**kwargs)
+        from .utils.utility import install_init_recorder
+        install_init_recorder(cls)
+
     def __init__(self, context: "Context", resolution: List[int],
                  units: "UnitConversion", stencil: "Stencil",
                  equilibrium: "Equilibrium"):

@@ -29,6 +29,13 @@ __all__ = ["Collision", "BGKCollision", "NoCollision", "TRTCollision",
 class Collision(ABC):
     """Collision protocol (reference ``_simulation.py:16-27``)."""
 
+    def __init_subclass__(cls, **kwargs):
+        # record constructor args for HDF5 persistence / reconstruction
+        # (LettuceDataset.make_collision; see utils/utility.py)
+        super().__init_subclass__(**kwargs)
+        from ..utils.utility import install_init_recorder
+        install_init_recorder(cls)
+
     @abstractmethod
     def __call__(self, flow: "Flow") -> jax.Array:
         ...

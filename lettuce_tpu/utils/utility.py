@@ -130,3 +130,44 @@ torch_jacobi = jax_jacobi
 def append_axes(array, n: int):
     array = jnp.asarray(array)
     return array.reshape(array.shape + (1,) * n)
+
+
+def install_init_recorder(cls) -> None:
+    """Wrap ``cls.__init__`` so instances record their constructor
+    arguments as ``self._init_record = (cls, {name: value})``.
+
+    Installed from ``__init_subclass__`` on :class:`~..flow.Flow` and
+    :class:`~..ops.collision.Collision` — the record is what
+    ``HDF5Reporter`` persists and ``LettuceDataset.make_flow`` /
+    ``make_collision`` rebuild from, the role the reference fills by
+    pickling live objects into HDF5 attrs
+    (``/root/reference/lettuce/util/datautils.py:112-133``). Only the
+    OUTERMOST constructor records (a subclass ``__init__`` runs before it
+    chains to ``super()``), so the record always matches ``type(self)``'s
+    own signature.
+    """
+    init = cls.__dict__.get("__init__")
+    if init is None:
+        return
+    import functools
+
+    sig = _inspect.signature(init)
+
+    @functools.wraps(init)
+    def recording_init(self, *args, **kw):
+        if not hasattr(self, "_init_record"):
+            try:
+                bound = sig.bind(self, *args, **kw)
+                bound.apply_defaults()
+                rec = dict(bound.arguments)
+                rec.pop("self", None)
+                kw_var = next((p.name for p in sig.parameters.values()
+                               if p.kind == p.VAR_KEYWORD), None)
+                if kw_var is not None:
+                    rec.update(rec.pop(kw_var, {}) or {})
+                self._init_record = (cls, rec)
+            except TypeError:
+                self._init_record = (cls, None)
+        init(self, *args, **kw)
+
+    cls.__init__ = recording_init
