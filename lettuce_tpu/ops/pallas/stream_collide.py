@@ -1566,8 +1566,16 @@ def build_fused_multi_step(simulation: "Simulation",
         # n_sub=2 (8500 MLUPS with the shallow 8-row halo; deeper blocking
         # is compute-bound)
         candidates = [2]
+    elif params["collision_spec"][0] in ("kbc", "mrt") or (
+            params["collision_spec"][0] == "reg" and q > 19):
+        # compute-bound fragments: blocking's halo recompute
+        # ((bx + 2 ns)/bx extra work per site) eats the traffic saving
+        # past n_sub=2 (KBC D3Q27 256^3: 2669 MLUPS at x2 vs 2101 at x4
+        # and 2088 single-step)
+        candidates = [2]
     else:
-        # f32 peaks at n_sub=4 (8644 MLUPS vs 5693 at n_sub=2)
+        # memory-bound fragments (f32): peak at n_sub=4 (8644 MLUPS vs
+        # 5693 at n_sub=2 for BGK D3Q19 256^3)
         candidates = [4, 2]
     if padding is not None:
         # ghost images stay valid for max_n_sub in-slab sub-steps
