@@ -118,4 +118,7 @@ def main(resolution=256, t_end=12.0, interval_t=0.05, collision="bgk",
 if __name__ == "__main__":
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     coll = sys.argv[2] if len(sys.argv) > 2 else "bgk"
-    main(resolution=res, collision=coll, with_enstrophy=(coll == "kbc"))
+    # enstrophy-based dissipation for BOTH collisions: the -dE/dt
+    # estimate includes numerical dissipation, the nu*<omega^2> estimate
+    # does not — the pair separates resolved from numerical dissipation
+    main(resolution=res, collision=coll, with_enstrophy=True)
