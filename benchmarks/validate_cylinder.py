@@ -22,9 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(re=150, resolution=(640, 384), domain_length_x=16.0):
-    # 128-multiple minor axis so the run rides the fused kernel (the
-    # outlet runs via the hybrid plane fix-up); still 40 cells/diameter
+def main(re=150, resolution=(1280, 896), domain_length_x=32.0):
+    # 40 cells/diameter at blockage D/H = 40/896 = 0.045: Williamson's
+    # St = 0.183 is an unbounded value, and at the previous 0.104
+    # blockage the confinement itself raises St ~8-10% (Turki et al.
+    # 2003 measure +9% at beta = 1/8, Re 140); at beta <= 0.05 the
+    # shift is within ~2%, so the unbounded value is the honest target
     import lettuce_tpu as lt
     from lettuce_tpu.reporters import Observable
 
@@ -101,16 +104,24 @@ def main(re=150, resolution=(640, 384), domain_length_x=16.0):
     sig = records - records.mean()
     freqs = np.fft.rfftfreq(len(sig), d=interval * dt)
     amp = np.abs(np.fft.rfft(sig * np.hanning(len(sig))))
-    f_shed = float(freqs[int(np.argmax(amp[1:])) + 1])
+    k = int(np.argmax(amp[1:])) + 1
+    # parabolic interpolation of the spectral peak: the raw bin width
+    # 1/t_meas would quantise St at the few-percent level
+    if 1 <= k < len(amp) - 1:
+        la, lb, lc = np.log(amp[k - 1:k + 2] + 1e-300)
+        k = k + 0.5 * (la - lc) / (la - 2 * lb + lc)
+    f_shed = float(k * (freqs[1] - freqs[0]))
     strouhal = f_shed * 1.0 / 1.0  # D = U = 1 in physical units
 
     mlups = trans_steps * resolution[0] * resolution[1] / 1e6 / elapsed
+    blockage = (1.0 / dx) / resolution[1]
     result = {
         "reynolds": re,
         "resolution": list(resolution),
+        "blockage": round(blockage, 4),
         "strouhal": round(strouhal, 4),
-        "reference": "St ~ 0.183 (Williamson 1989, unbounded; blockage "
-                     "0.1 raises it a few %)",
+        "reference": "St = 0.183 (Williamson 1989, unbounded); at "
+                     "blockage <= 0.05 confinement shifts St by < ~2%",
         "probe_rms_uy": round(float(sig.std()), 4),
         "mlups": round(mlups, 1),
     }
