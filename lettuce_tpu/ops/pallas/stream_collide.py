@@ -613,130 +613,211 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         return fpost_mrt
 
     if kind == "kbc":
+        # The fragment is VPU-compute-bound (BGK at the same stencil is
+        # 3x faster), so every piece of per-site algebra below is
+        # organised around opposite-direction PAIRS: e.u sums, feq
+        # polynomials, 1/feq reciprocals and the raw second moments are
+        # all shared between +e and -e. Measured D3Q27 256^3 history:
+        # 2008 MLUPS (per-direction s_f/s_eq), 2669 (moment-delta form),
+        # this form adds pair sharing + grouped stabiliser sums.
         tau = spec[1]
         beta = 1.0 / (2.0 * tau)
         w_np = w
+        inv_rho = 1.0 / rho
 
-        def add_w(qi, x):
-            return x + float(w_np[qi]) if dev_storage else x
+        # opposite-direction pair structure: (qp, qm) with canonical(qp)
+        # == tuple(e[qp]); the rest direction pairs with itself
+        pairs = []
+        rest = None
+        seen = set()
+        for qi in range(q):
+            if qi in seen:
+                continue
+            qo = int(opposite[qi])
+            seen.update((qi, qo))
+            if qo == qi:
+                rest = qi
+            elif canonical(qi) == tuple(int(c) for c in e[qi]):
+                pairs.append((qi, qo))
+            else:
+                pairs.append((qo, qi))
 
-        # raw (un-normalised) second moments of f: sum e^a e^b f
-        def second_moment(sel):
+        # e.u/cs2 for every canonical direction, built incrementally
+        # (corner sums reuse edge sums: 12 adds for all of D3Q27 vs 28
+        # when each direction re-sums its components)
+        if d == 3:
+            ux, uy, uz = up
+            sxy, dxy = ux + uy, ux - uy
+            eu_c = {(1, 0, 0): ux, (0, 1, 0): uy, (0, 0, 1): uz,
+                    (1, 1, 0): sxy, (1, -1, 0): dxy,
+                    (1, 0, 1): ux + uz, (1, 0, -1): ux - uz,
+                    (0, 1, 1): uy + uz, (0, 1, -1): uy - uz,
+                    (1, 1, 1): sxy + uz, (1, 1, -1): sxy - uz,
+                    (1, -1, 1): dxy + uz, (1, -1, -1): dxy - uz}
+        elif d == 2:
+            ux, uy = up
+            eu_c = {(1, 0): ux, (0, 1): uy,
+                    (1, 1): ux + uy, (1, -1): ux - uy}
+        else:
+            raise NotImplementedError("KBC fragment needs d in (2, 3)")
+
+        # quadratic feq in pair form: feq(+-e) = w*(C +- rho*(e.u)/cs2)
+        # with C = rho - rho*u^2/2cs2 + rho*(e.u)^2/2cs4 (+1 in deviation
+        # storage, folding the add_w shift into the polynomial)
+        c_shift = base0 + 1.0 if dev_storage else base0
+        feq_t = {}
+        if rest is not None:
+            feq_t[rest] = float(w_np[rest]) * c_shift
+        for qp, qm in pairs:
+            eu = eu_c[canonical(qp)]
+            re = rho * eu
+            c_eff = c_shift + re * (eu * 0.5)
+            wq = float(w_np[qp])  # opposite directions share the weight
+            feq_t[qp] = wq * (c_eff + re)
+            feq_t[qm] = wq * (c_eff - re)
+
+        # 1/feq by opposite-pair conjugation: 1/feq(+e) =
+        # feq(-e)/(feq(+e)*feq(-e)) — one f32 division per PAIR instead
+        # of per direction (27 -> 14 on D3Q27; divides are the VPU's
+        # most expensive primitive here)
+        recip_feq = {}
+        if rest is not None:
+            recip_feq[rest] = 1.0 / feq_t[rest]
+        for qp, qm in pairs:
+            invpm = 1.0 / (feq_t[qp] * feq_t[qm])
+            recip_feq[qp] = feq_t[qm] * invpm
+            recip_feq[qm] = feq_t[qp] * invpm
+
+        # raw second moments sum e^a e^b f from pair sums f(+e)+f(-e)
+        # (e^a e^b is even in e: 13 pair adds replace ~17 adds PER
+        # moment). Dev shift: sum w e_a e_b = cs2 diagonal, 0 mixed.
+        pair_sum = {(qp, qm): read(qp) + read(qm) for qp, qm in pairs}
+
+        def second_moment(a, b):
             acc = None
-            for qi in range(q):
-                c = sel(qi)
-                if c == 0:
+            for (qp, qm), s in pair_sum.items():
+                cc = int(e[qp, a]) * int(e[qp, b])
+                if cc == 0:
                     continue
-                fi = read(qi)
-                term = fi if c == 1 else -fi
+                term = s if cc == 1 else -s
                 acc = term if acc is None else acc + term
-            # dev shift: sum e^a e^b w must be added back. For diagonal
-            # (a==a) moments sum w e_a^2 = cs2; mixed moments vanish.
-            return acc
+            return acc * inv_rho
 
         # s(qi) is LINEAR in the (T, N, P) moment set, so
-        # delta_s(qi) = s_f(qi) - s_eq(qi) = s(qi) applied to the moment
-        # DELTAS — and paired directions share the same value. Build the
-        # handful of distinct delta tracers ONCE (the old form re-derived
-        # the full s_f and s_eq expressions per direction, twice per
-        # direction: measured 2008 MLUPS D3Q27 256^3; VERDICT r2 item 3).
-        inv_rho = 1.0 / rho
+        # delta_s(qi) = s applied to the moment DELTAS; paired directions
+        # share the value. ds_index maps qi -> (group, sign) so the
+        # stabiliser sum and fpost can fold signs into adds/subs instead
+        # of materialising negated tracers.
         if d == 3:
-            m200 = second_moment(lambda qi: int(e[qi, 0]) ** 2) * inv_rho
-            m020 = second_moment(lambda qi: int(e[qi, 1]) ** 2) * inv_rho
-            m002 = second_moment(lambda qi: int(e[qi, 2]) ** 2) * inv_rho
+            m200 = second_moment(0, 0)
+            m020 = second_moment(1, 1)
+            m002 = second_moment(2, 2)
             if dev_storage:
                 m200 = m200 + cs2 * inv_rho
                 m020 = m020 + cs2 * inv_rho
                 m002 = m002 + cs2 * inv_rho
-            mxy = second_moment(
-                lambda qi: int(e[qi, 0]) * int(e[qi, 1])) * inv_rho
-            mxz = second_moment(
-                lambda qi: int(e[qi, 0]) * int(e[qi, 2])) * inv_rho
-            myz = second_moment(
-                lambda qi: int(e[qi, 1]) * int(e[qi, 2])) * inv_rho
             # moment deltas f - eq (quadratic equilibrium on D3Q27:
             # m_ab(feq)/rho = u_a u_b + cs2 delta_ab)
             dT = (m200 + m020 + m002) - (u2 + 3 * cs2)
             dNxz = (m200 - m002) - (u[0] * u[0] - u[2] * u[2])
             dNyz = (m020 - m002) - (u[1] * u[1] - u[2] * u[2])
-            dPxy = mxy - u[0] * u[1]
-            dPxz = mxz - u[0] * u[2]
-            dPyz = myz - u[1] * u[2]
+            dPxy = second_moment(0, 1) - u[0] * u[1]
+            dPxz = second_moment(0, 2) - u[0] * u[2]
+            dPyz = second_moment(1, 2) - u[1] * u[2]
             r6 = rho * (1. / 6.)
-            ds_T = rho * -dT
-            ds_x = r6 * (2 * dNxz - dNyz + dT)
-            ds_y = r6 * (2 * dNyz - dNxz + dT)
-            ds_z = r6 * (-dNxz - dNyz + dT)
-            ds_yz = 0.25 * rho * dPyz
-            ds_xz = 0.25 * rho * dPxz
-            ds_xy = 0.25 * rho * dPxy
-            ds_table = {0: ds_T, 1: ds_x, 2: ds_x, 3: ds_y, 4: ds_y,
-                        5: ds_z, 6: ds_z, 7: ds_yz, 8: ds_yz,
-                        9: -ds_yz, 10: -ds_yz, 11: ds_xz, 12: ds_xz,
-                        13: -ds_xz, 14: -ds_xz, 15: ds_xy, 16: ds_xy,
-                        17: -ds_xy, 18: -ds_xy}
+            ds_groups = {
+                "T": rho * -dT,
+                "x": r6 * (2 * dNxz - dNyz + dT),
+                "y": r6 * (2 * dNyz - dNxz + dT),
+                "z": r6 * (-dNxz - dNyz + dT),
+                "yz": 0.25 * rho * dPyz,
+                "xz": 0.25 * rho * dPxz,
+                "xy": 0.25 * rho * dPxy,
+            }
+            ds_index = {0: ("T", 1), 1: ("x", 1), 2: ("x", 1),
+                        3: ("y", 1), 4: ("y", 1), 5: ("z", 1),
+                        6: ("z", 1), 7: ("yz", 1), 8: ("yz", 1),
+                        9: ("yz", -1), 10: ("yz", -1), 11: ("xz", 1),
+                        12: ("xz", 1), 13: ("xz", -1), 14: ("xz", -1),
+                        15: ("xy", 1), 16: ("xy", 1), 17: ("xy", -1),
+                        18: ("xy", -1)}
         else:
-            m20 = second_moment(lambda qi: int(e[qi, 0]) ** 2) * inv_rho
-            m02 = second_moment(lambda qi: int(e[qi, 1]) ** 2) * inv_rho
+            m20 = second_moment(0, 0)
+            m02 = second_moment(1, 1)
             if dev_storage:
                 m20 = m20 + cs2 * inv_rho
                 m02 = m02 + cs2 * inv_rho
-            mxy = second_moment(
-                lambda qi: int(e[qi, 0]) * int(e[qi, 1])) * inv_rho
             dT = (m20 + m02) - (u2 + 2 * cs2)
             dN = (m20 - m02) - (u[0] * u[0] - u[1] * u[1])
-            dPxy = mxy - u[0] * u[1]
+            dPxy = second_moment(0, 1) - u[0] * u[1]
             r4 = 0.25 * rho
-            ds_T = rho * -dT
-            ds_p = r4 * (dT + dN)
-            ds_m = r4 * (dT - dN)
-            ds_xy = r4 * dPxy
-            ds_table = {0: ds_T, 1: ds_p, 3: ds_p, 2: ds_m, 4: ds_m,
-                        5: ds_xy, 7: ds_xy, 6: -ds_xy, 8: -ds_xy}
+            ds_groups = {"T": rho * -dT, "p": r4 * (dT + dN),
+                         "m": r4 * (dT - dN), "xy": r4 * dPxy}
+            ds_index = {0: ("T", 1), 1: ("p", 1), 3: ("p", 1),
+                        2: ("m", 1), 4: ("m", 1), 5: ("xy", 1),
+                        7: ("xy", 1), 6: ("xy", -1), 8: ("xy", -1)}
 
-        def delta_s(qi):
-            return ds_table.get(qi)
-
-        # gamma stabiliser: sums over q of ds*dh/feq and dh^2/feq.
-        # feq and dh tracers are kept and REUSED by fpost_kbc below —
-        # tracer reuse is jaxpr-level sharing, so each is computed once
-        # per direction in the compiled fragment.
+        # gamma stabiliser: sum_s = sum ds*dh/feq, sum_h = sum dh^2/feq.
+        # sum_s is accumulated GROUPED: directions sharing a ds tracer
+        # first sum their signed dh/feq, then one multiply per group
+        # (7 muls on D3Q27 instead of 19). dh tracers are kept and
+        # REUSED by fpost_kbc below — tracer reuse is jaxpr-level
+        # sharing, so each is computed once in the compiled fragment.
         dh_cache = {}
-        feq_cache = {}
-        sum_s = None
+        group_acc = {}
         sum_h = None
         for qi in range(q):
-            feq_t = add_w(qi, feq_raw(qi))
-            feq_cache[qi] = feq_t
-            f_t = add_w(qi, read(qi))
-            ds = delta_s(qi)
-            if ds is None:
-                dh = f_t - feq_t
+            # feq_t is the TRUE equilibrium (the dev shift is folded into
+            # c_shift), so the population must be un-shifted to match
+            f_t = read(qi) + float(w_np[qi]) if dev_storage else read(qi)
+            idx = ds_index.get(qi)
+            if idx is None:
+                dh = f_t - feq_t[qi]
             else:
-                dh = f_t - feq_t - ds
+                g, sgn = idx
+                ds_g = ds_groups[g]
+                dh = (f_t - feq_t[qi] - ds_g if sgn == 1
+                      else f_t - feq_t[qi] + ds_g)
             dh_cache[qi] = dh
-            dh_over_feq = dh / feq_t
-            if ds is not None:
-                term_s = ds * dh_over_feq
-                sum_s = term_s if sum_s is None else sum_s + term_s
+            dh_over_feq = dh * recip_feq[qi]
+            if idx is not None:
+                g, sgn = idx
+                prev = group_acc.get(g)
+                if prev is None:
+                    group_acc[g] = (dh_over_feq if sgn == 1
+                                    else -dh_over_feq)
+                else:
+                    group_acc[g] = (prev + dh_over_feq if sgn == 1
+                                    else prev - dh_over_feq)
             term_h = dh * dh_over_feq
             sum_h = term_h if sum_h is None else sum_h + term_h
+        sum_s = None
+        for g, acc in group_acc.items():
+            term = ds_groups[g] * acc
+            sum_s = term if sum_s is None else sum_s + term
 
         inv_beta = 1.0 / beta
         gamma = inv_beta - (2.0 - inv_beta) * sum_s / sum_h
         gamma = jnp.where(gamma < 1e-15, 2.0, gamma)
         gamma = jnp.where(jnp.isnan(gamma), 2.0, gamma)
 
+        # fpost = f - beta*(2 ds + gamma dh) = f - bg*dh -+ tb_g with
+        # bg = beta*gamma shared and tb_g = 2*beta*ds_g one multiply per
+        # GROUP (the per-direction form re-multiplied beta into every
+        # direction)
+        bg = beta * gamma
+        tb = {g: (2.0 * beta) * v for g, v in ds_groups.items()}
+
         def fpost_kbc(qi):
-            # f_t - w == read(qi) in deviation form: skip the add/sub pair
+            # in deviation storage f_t - w == read(qi): the shifts cancel
+            # between f_t and dh, so raw reads are correct in both modes
             f_dev = read(qi)
-            f_t = f_dev if dev_storage else add_w(qi, f_dev)
-            ds = delta_s(qi)
-            dh = dh_cache[qi]
-            if ds is None:
-                return f_t - beta * (gamma * dh)
-            return f_t - beta * (2.0 * ds + gamma * dh)
+            idx = ds_index.get(qi)
+            core = f_dev - bg * dh_cache[qi]
+            if idx is None:
+                return core
+            g, sgn = idx
+            return core - tb[g] if sgn == 1 else core + tb[g]
         return fpost_kbc
 
     raise NotImplementedError(kind)

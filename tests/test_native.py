@@ -181,6 +181,33 @@ def test_half_storage_mode():
                                float(flow_ref.rho().sum()), rtol=1e-4)
 
 
+def test_half_storage_kbc():
+    """KBC in bf16 deviation storage: the fragment folds the w-shift into
+    its feq polynomial and un-shifts the populations — the entropic
+    stabiliser must match the plain-f32 path within deviation rounding."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q27(),
+                                    initialize_fneq=False)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, lt.KBCCollision(), [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(10)
+
+    flow_h = make()
+    sim_h = lt.Simulation(flow_h, lt.KBCCollision(), [], half_storage=True)
+    assert sim_h._step_dev is not None
+    sim_h(10)
+
+    u_rel = (np.abs(np.asarray(flow_h.u() - flow_ref.u())).max()
+             / np.abs(np.asarray(flow_ref.u())).max())
+    assert u_rel < 0.02, f"half-storage KBC drift {u_rel}"
+    np.testing.assert_allclose(float(flow_h.rho().sum()),
+                               float(flow_ref.rho().sum()), rtol=1e-4)
+
+
 @pytest.mark.parametrize("collision_factory,stencil_cls,res", [
     (lambda fl: lt.TRTCollision(0.8, 1.1), lt.D3Q19, [16, 16, 128]),
     (lambda fl: lt.RegularizedCollision(0.8), lt.D3Q19, [16, 16, 128]),
