@@ -176,9 +176,12 @@ def main():
                 steps = max(base_steps, min(4000, int(8e9 / cells))) \
                     if on_accel else base_steps
                 row = bench_config(name, make_flow, coll, steps, use_native)
+                # dedupe on (name, step kind): an n_sub change must
+                # supersede the stale "pallas xN" row, not sit beside it
+                kind = row["path"].split()[0]
                 results["runs"] = [r for r in results["runs"]
                                    if not (r["name"] == row["name"]
-                                           and r["path"] == row["path"])]
+                                           and r["path"].split()[0] == kind)]
                 results["runs"].append(row)
                 print(json.dumps(row), flush=True)
             except Exception as ex:  # keep the suite running
@@ -198,9 +201,10 @@ def main():
             steps = max(base_steps, min(4000, int(8e9 / cells)))
             row = bench_config(name, make_flow, coll, steps,
                                use_native=True, half_storage=True)
+            kind = row["path"].split()[0]
             results["runs"] = [r for r in results["runs"]
                                if not (r["name"] == row["name"]
-                                       and r["path"] == row["path"])]
+                                       and r["path"].split()[0] == kind)]
             results["runs"].append(row)
             print(json.dumps(row), flush=True)
         except Exception as ex:
