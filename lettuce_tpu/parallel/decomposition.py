@@ -307,8 +307,13 @@ class DomainDecomposition:
         the n_sub fused kernel on the extended slab, and keeps the
         interior: a plane's n_sub-step dependency cone spans n_sub planes,
         so the interior of the extended result is exactly the true
-        evolution. Periodic configurations with 1D x sharding only.
+        evolution. Mask-coded boundaries and per-node equilibrium fields
+        compose — their slabs are extended by the same halo exchange, so
+        the kernel sees exactly the masks a global blocked sweep would
+        (outlet boundaries do not: their windowed fix-up stays on the
+        single-step sharded path). 1D x and 2D (x, y) meshes.
         """
+        import numpy as np
         from ..ops.boundary import combined_equilibrium_field
         from ..ops.pallas.stream_collide import (build_fused_multi_step,
                                                  fused_stream_collide,
@@ -317,9 +322,7 @@ class DomainDecomposition:
         from ._shard_map_compat import shard_map
 
         flow = simulation.flow
-        if (simulation.no_collision_mask is not None
-                or simulation.no_streaming_mask is not None
-                or not simulation.context.use_native
+        if (not simulation.context.use_native
                 or self.grid_axes not in ((0,), (0, 1))):
             return None
         if self.grid_axes == (0, 1) and flow.stencil.d != 3:
@@ -369,37 +372,80 @@ class DomainDecomposition:
         fwd = _ring_perm(n_shards, 1)
         bwd = _ring_perm(n_shards, -1)
 
+        # masks / per-node equilibrium fields: static slabs extended by
+        # the SAME halo exchange as f, so the blocked kernel sees exactly
+        # what a global blocked sweep would on every sub-step
+        ncm = simulation.no_collision_mask
+        nsm = simulation.no_streaming_mask
+        if nsm is not None and not bool(np.any(np.asarray(nsm))):
+            nsm = None
+        feq_field, _pernode = combined_equilibrium_field(
+            flow, simulation.boundaries, ncm)
+        has_ncm = ncm is not None
+        has_nsm = nsm is not None
+        has_feq = feq_field is not None
+
         if self.grid_axes == (0, 1):
             x_name, y_name = self.axis_names
             fwd_y = _ring_perm(n_sy, 1)
             bwd_y = _ring_perm(n_sy, -1)
-
-            def local_step(f):
-                recv_lo = jax.lax.ppermute(f[:, :, -hy:], y_name, fwd_y)
-                recv_hi = jax.lax.ppermute(f[:, :, :hy], y_name, bwd_y)
-                fy = jnp.concatenate([recv_lo, f, recv_hi], axis=2)
-                recv_l = jax.lax.ppermute(fy[:, -n_sub:], x_name, fwd)
-                recv_r = jax.lax.ppermute(fy[:, :n_sub], x_name, bwd)
-                ext = jnp.concatenate([recv_l, fy, recv_r], axis=1)
-                out = fused_stream_collide(ext, dev_storage=dev,
-                                           n_sub=n_sub, **params)
-                return out[:, n_sub:-n_sub, hy:-hy]
         else:
-            axis_name = self.axis_names[0]
+            x_name = self.axis_names[0]
+            y_name = None
 
-            def local_step(f):
-                # my last planes -> right neighbour's left halo, and back
-                recv_left = jax.lax.ppermute(f[:, -n_sub:], axis_name, fwd)
-                recv_right = jax.lax.ppermute(f[:, :n_sub], axis_name, bwd)
-                ext = jnp.concatenate([recv_left, f, recv_right], axis=1)
-                out = fused_stream_collide(ext, dev_storage=dev,
-                                           n_sub=n_sub, **params)
-                return out[:, n_sub:-n_sub]
+        def _sl(arr, axis, lo, hi):
+            sel = [slice(None)] * arr.ndim
+            sel[axis] = slice(lo, hi)
+            return arr[tuple(sel)]
+
+        def extend(arr, lead):
+            # lead = array axis of grid x (1 for f/nsm/feq, 0 for ncm)
+            if y_name is not None:
+                ay = lead + 1
+                lo = jax.lax.ppermute(_sl(arr, ay, -hy, None), y_name,
+                                      fwd_y)
+                hi = jax.lax.ppermute(_sl(arr, ay, None, hy), y_name,
+                                      bwd_y)
+                arr = jnp.concatenate([lo, arr, hi], axis=ay)
+            lo = jax.lax.ppermute(_sl(arr, lead, -n_sub, None), x_name,
+                                  fwd)
+            hi = jax.lax.ppermute(_sl(arr, lead, None, n_sub), x_name,
+                                  bwd)
+            return jnp.concatenate([lo, arr, hi], axis=lead)
+
+        def local_step(f, ncm_l, nsm_l, feq_l):
+            ext = extend(f, 1)
+            kw = dict(params)
+            if has_ncm:
+                kw["no_collision_mask"] = extend(ncm_l, 0)
+            if has_nsm:
+                kw["no_streaming_mask"] = extend(nsm_l, 1)
+            if has_feq:
+                kw["feq_field"] = extend(feq_l, 1)
+            out = fused_stream_collide(ext, dev_storage=dev,
+                                       n_sub=n_sub, **kw)
+            if y_name is not None:
+                return out[:, n_sub:-n_sub, hy:-hy]
+            return out[:, n_sub:-n_sub]
 
         fspec = self.f_spec(d)
-        mapped = shard_map(local_step, mesh=self.mesh, in_specs=(fspec,),
+        in_specs = (fspec,
+                    self.grid_spec(d) if has_ncm else P(),
+                    fspec if has_nsm else P(),
+                    fspec if has_feq else P())
+        mapped = shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
                            out_specs=fspec)
-        return mapped, n_sub
+
+        ncm_arg = self.shard_grid_array(ncm) if has_ncm \
+            else jnp.zeros((), dtype=jnp.uint8)
+        nsm_arg = self.shard_f(nsm) if has_nsm \
+            else jnp.zeros((), dtype=bool)
+        feq_arg = self.shard_f(feq_field) if has_feq \
+            else jnp.zeros((), dtype=flow.f.dtype)
+
+        def stepper(f):
+            return mapped(f, ncm_arg, nsm_arg, feq_arg)
+        return stepper, n_sub
 
     def _try_2dmesh_native_step(self, simulation: "Simulation",
                                 dev: bool = False):

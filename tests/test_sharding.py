@@ -498,6 +498,102 @@ def test_sharded_2dmesh_half_storage():
                                np.asarray(flow_ref.f), atol=2e-4)
 
 
+def test_sharded_temporal_blocking_with_boundaries(monkeypatch):
+    """Temporal blocking under sharding with mask-coded boundaries: the
+    static mask slabs ride the same halo exchange as f, so the blocked
+    kernel sees halo-correct masks (an obstacle block deliberately
+    crosses a shard boundary)."""
+    from tests.conftest import TestFlow
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    ctx = lt.Context(dtype=jnp.float64, use_native=True)
+    mask = np.zeros((64, 16, 128), dtype=bool)
+    mask[:, 0, :] = True        # wall plane crossing every x shard
+    mask[30:34, 6:10, :] = True  # obstacle across the x=32 shard cut
+
+    def make():
+        return TestFlow(ctx, resolution=[64, 16, 128],
+                        stencil=lt.D3Q19(),
+                        boundaries=[lt.BounceBackBoundary(mask)])
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(6)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    ctx_ref = lt.Context(dtype=jnp.float64, use_native=False)
+
+    def make_ref():
+        return TestFlow(ctx_ref, resolution=[64, 16, 128],
+                        stencil=lt.D3Q19(),
+                        boundaries=[lt.BounceBackBoundary(mask)])
+
+    flow_ref = make_ref()
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    sim_ref(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_temporal_blocking_per_node_inlet(monkeypatch):
+    """Temporal blocking under sharding with a per-node equilibrium
+    inlet: the combined feq field is extended by the same halo exchange
+    and applied on every sub-step."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    ctx = lt.Context(dtype=jnp.float64, use_native=True)
+
+    flow_sh = _pernode_inlet_flow(ctx, (64, 128))
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(6)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    ctx_ref = lt.Context(dtype=jnp.float64, use_native=False)
+    flow_ref = _pernode_inlet_flow(ctx_ref, (64, 128))
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    sim_ref(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_temporal_blocking_masked(monkeypatch):
+    """Temporal blocking on the 2D-mesh kernel path with mask-coded
+    walls: masks take the y-halo and x-halo exchanges too."""
+    from tests.conftest import TestFlow
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+    ctx = lt.Context(dtype=jnp.float64, use_native=True)
+    mask = np.zeros((32, 128, 128), dtype=bool)
+    mask[0, :, :] = True    # wall plane crossing every y shard
+    mask[:, 0, :] = True    # wall plane crossing every x shard
+
+    def make(c):
+        return TestFlow(c, resolution=[32, 128, 128],
+                        stencil=lt.D3Q19(),
+                        boundaries=[lt.BounceBackBoundary(mask)])
+
+    flow_sh = make(ctx)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(4)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    ctx_ref = lt.Context(dtype=jnp.float64, use_native=False)
+    flow_ref = make(ctx_ref)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    sim_ref(4)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
 def test_sharded_2dmesh_temporal_blocking(monkeypatch):
     """Temporal blocking on the 2D-mesh kernel path: n_sub x planes and
     a doubled y halo exchanged once per n_sub steps."""
