@@ -97,7 +97,10 @@ class PadPlan:
         (differentiable: gather, whose vjp scatter-adds image cotangents
         back onto their sources)."""
         for (a, n, m, tile, depth) in self.axes:
-            idx = jnp.asarray(self._image_index(n, m, tile, depth))
+            # int32 indices: under jax x64 (f64 state) np.arange would
+            # trace as i64, which TPU gathers reject deep in lowering
+            idx = jnp.asarray(self._image_index(n, m, tile, depth),
+                              dtype=jnp.int32)
             f = jnp.take(f, idx, axis=lead + a)
         return f
 

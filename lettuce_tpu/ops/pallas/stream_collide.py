@@ -136,6 +136,14 @@ class _RollMasks:
             self.sS = s_phase == S - 1
 
 
+def _roll(x, shift, axis):
+    """pltpu.roll with the shift pinned to int32: pltpu.roll lowers to
+    tpu.dynamic_rotate, whose shift operand must be i32 — under jax x64
+    (f64 state auto-enables it) a plain python int traces as i64 and
+    Mosaic rejects the kernel at verification."""
+    return pltpu.roll(x, jnp.int32(shift), axis=axis)
+
+
 def _roll_minor(x, shift: int, S: int, masks: "_RollMasks"):
     """Periodic shift of the minor spatial axis packed as (rows, 128
     lanes), where each z-column group occupies ``S`` consecutive rows. For
@@ -145,27 +153,27 @@ def _roll_minor(x, shift: int, S: int, masks: "_RollMasks"):
     rows = x.shape[-2]
     if S == rows:
         if shift == 1:
-            a = pltpu.roll(x, 1, axis=x.ndim - 1)
-            b = pltpu.roll(a, 1, axis=x.ndim - 2)
+            a = _roll(x, 1, axis=x.ndim - 1)
+            b = _roll(a, 1, axis=x.ndim - 2)
             return jnp.where(masks.lane0, b, a)
         else:
-            a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
-            b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
+            a = _roll(x, LANES - 1, axis=x.ndim - 1)
+            b = _roll(a, rows - 1, axis=x.ndim - 2)
             return jnp.where(masks.laneL, b, a)
     if shift == 1:
-        a = pltpu.roll(x, 1, axis=x.ndim - 1)
+        a = _roll(x, 1, axis=x.ndim - 1)
         if S == 1:
             return a  # wrap stays within the row
-        b = pltpu.roll(a, 1, axis=x.ndim - 2)
-        c = pltpu.roll(a, rows - (S - 1), axis=x.ndim - 2)
+        b = _roll(a, 1, axis=x.ndim - 2)
+        c = _roll(a, rows - (S - 1), axis=x.ndim - 2)
         carry = jnp.where(masks.s0, c, b)
         return jnp.where(masks.lane0, carry, a)
     else:
-        a = pltpu.roll(x, LANES - 1, axis=x.ndim - 1)
+        a = _roll(x, LANES - 1, axis=x.ndim - 1)
         if S == 1:
             return a
-        b = pltpu.roll(a, rows - 1, axis=x.ndim - 2)
-        c = pltpu.roll(a, S - 1, axis=x.ndim - 2)
+        b = _roll(a, rows - 1, axis=x.ndim - 2)
+        c = _roll(a, S - 1, axis=x.ndim - 2)
         carry = jnp.where(masks.sS, c, b)
         return jnp.where(masks.laneL, carry, a)
 
@@ -196,11 +204,11 @@ def _minor_image_fix(x, n: int, depth: int, S_group: int):
     def flat_roll(r):
         # result[p] = x[p - r] over the flattened (s_phase, lane) axis
         rl, rr = r % LANES, r // LANES
-        a = pltpu.roll(x, rl, axis=ndim - 1) if rl else x
-        b = pltpu.roll(a, rr % rows, axis=ndim - 2) if rr % rows else a
+        a = _roll(x, rl, axis=ndim - 1) if rl else x
+        b = _roll(a, rr % rows, axis=ndim - 2) if rr % rows else a
         if rl == 0:
             return b
-        c = pltpu.roll(a, (rr + 1) % rows, axis=ndim - 2)
+        c = _roll(a, (rr + 1) % rows, axis=ndim - 2)
         return jnp.where(lane < rl, c, b)
 
     out = jnp.where((z >= n) & (z < n + depth), flat_roll(n), x)
@@ -230,9 +238,14 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
             return lambda i: i, bx
         # xhalo-wide block at element (i*bx + dx') mod X, indexed in units
         # of xhalo blocks
-        ratio = bx // xhalo
-        nblocks = X // xhalo
-        off = -1 if dx == -1 else ratio
+        # strong-int32 arithmetic: a python-int literal under jax x64
+        # (f64 state) promotes the expression to i64, which Mosaic's
+        # transform-func lowering cannot convert (infinite recursion in
+        # _convert_element_type); the +nblocks keeps the numerator
+        # non-negative so the floor-mod is dtype-convention-safe
+        ratio = np.int32(bx // xhalo)
+        nblocks = np.int32(X // xhalo)
+        off = np.int32((-1 if dx == -1 else int(ratio)) + int(nblocks))
         return (lambda i: (i * ratio + off) % nblocks), xhalo
 
     specs = []
@@ -252,9 +265,9 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
             return lambda j: j, bys
         # yhalo-row block whose element offset is j*bys - yhalo (or + bys),
         # expressed in units of yhalo blocks (bys is a multiple of yhalo)
-        ratio = bys // yhalo
-        off = -1 if dm == -1 else ratio
-        nblocks = YS // yhalo
+        ratio = np.int32(bys // yhalo)
+        nblocks = np.int32(YS // yhalo)
+        off = np.int32((-1 if dm == -1 else int(ratio)) + int(nblocks))
         return (lambda j: (j * ratio + off) % nblocks), yhalo
 
     for dx in (-1, 0, 1):
@@ -1315,6 +1328,16 @@ def gate_fused_params(simulation: "Simulation",
     f_post) and the caller patches the few affected planes with an exact
     jnp fix-up afterwards (see ``hybrid_outlets.build_hybrid_fixup``).
     """
+    if (simulation.context.platform == "tpu"
+            and simulation.flow.f.dtype == jnp.float64):
+        # TPU hardware has no f64 units; XLA emulates x64 by a rewrite
+        # pass that cannot see inside custom calls, so an f64 pallas_call
+        # fails AOT compilation ("While rewriting computation to not
+        # contain X64 element types..."). f64 is the correctness mode:
+        # it runs the jnp path, where the emulation works.
+        raise NotImplementedError(
+            "float64 state runs the jnp path on TPU (XLA's x64 emulation "
+            "does not extend into Pallas kernels)")
     from ..collision import (BGKCollision, NoCollision, TRTCollision,
                              RegularizedCollision, SmagorinskyCollision,
                              KBCCollision, MRTCollision)
