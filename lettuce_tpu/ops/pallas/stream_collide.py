@@ -537,59 +537,121 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         return fpost_smag
 
     if kind == "mrt":
-        # generic static-matrix multi-relaxation: m = M f (sparse static
-        # accumulation), relax towards the transform's analytic equilibrium
-        # moments, inverse-transform back. spec = ("mrt", M, Minv, taus,
-        # meq_kind) with matrices as nested tuples.
+        # folded static-matrix multi-relaxation. Instead of the three
+        # matvecs m = M f, relax, f' = Minv m (the jnp path's shape), the
+        # fragment precomputes C = Minv diag(1/tau) M in f64 and applies
+        #   from_feq:  f' = f - C (f - feq)          (exact algebra)
+        #   analytic:  f' = f - C f + A meq(rho, j)  (A = Minv diag(1/tau))
+        # — one static matvec per term. Each matvec is then HALVED via
+        # opposite-pair parity: every generated moment row has definite
+        # parity under q -> qbar, so C commutes with the opposite
+        # permutation and maps pair-sums to pair-sums / pair-diffs to
+        # pair-diffs; the even and odd accumulations are shared between
+        # +e and -e outputs (verified numerically at build, dense
+        # fallback otherwise). spec = ("mrt", M, Minv, taus, meq_kind).
         _, M_t, Minv_t, taus, meq_kind = spec
-        M = [list(row) for row in M_t]
-        Minv = [list(row) for row in Minv_t]
-        nq = len(M)
+        M_np = np.asarray(M_t, dtype=np.float64)
+        Minv_np = np.asarray(Minv_t, dtype=np.float64)
+        s_np = 1.0 / np.asarray([float(t) for t in taus], dtype=np.float64)
+        nq = M_np.shape[0]
+        C_np = Minv_np @ (s_np[:, None] * M_np)
+        perm = [int(opposite[qi]) for qi in range(nq)]
 
-        def matvec_row(mat, k, vals):
-            acc = None
-            for qi in range(nq):
-                c = mat[k][qi]
-                if c == 0.0:
-                    continue
-                term = vals(qi) if c == 1.0 else vals(qi) * c
-                acc = term if acc is None else acc + term
-            return acc
+        def build_pair_apply(mat, ncols_basis=None):
+            """Static-matrix application out[qi] = sum_c mat[qi][c] v[c],
+            exploiting parity when mat commutes with the opposite
+            permutation of its OUTPUT axis (and, for square f-space
+            matrices, its input axis)."""
+            selfs = [qi for qi in range(nq) if perm[qi] == qi]
+            prs = [(a, perm[a]) for a in range(nq) if a < perm[a]]
 
-        m = [matvec_row(M, k, read) for k in range(nq)]
+            def dot(coeffs, vecs):
+                acc = None
+                for c, v in zip(coeffs, vecs):
+                    if c == 0.0 or v is None:
+                        continue
+                    t = v if c == 1.0 else v * float(c)
+                    acc = t if acc is None else acc + t
+                return acc
 
-        # analytic equilibrium moments (lettuce_tpu.utils.moments formulas)
-        rho_m, jx = m[0], m[1]
+            def apply_dense(vlist):
+                return [dot(mat[qi], vlist) for qi in range(nq)]
+
+            if not np.allclose(mat[np.ix_(perm, perm)], mat, atol=1e-11):
+                return apply_dense
+
+            # even basis: selfs then pair sums; odd basis: pair diffs
+            ce = {qi: [mat[qi][s] for s in selfs]
+                  + [0.5 * (mat[qi][a] + mat[qi][b]) for a, b in prs]
+                  for qi in [s for s in selfs] + [a for a, _ in prs]}
+            co = {a: [0.5 * (mat[a][x] - mat[a][y]) for x, y in prs]
+                  for a, _ in prs}
+
+            def apply_pairs(vlist):
+                ue = ([vlist[s] for s in selfs]
+                      + [vlist[a] + vlist[b] for a, b in prs])
+                uo = [vlist[a] - vlist[b] for a, b in prs]
+                out = [None] * nq
+                for s in selfs:
+                    out[s] = dot(ce[s], ue)
+                for a, b in prs:
+                    ev, od = dot(ce[a], ue), dot(co[a], uo)
+                    if ev is None:
+                        out[a], out[b] = od, (None if od is None else -od)
+                    elif od is None:
+                        out[a] = out[b] = ev
+                    else:
+                        out[a], out[b] = ev + od, ev - od
+                return out
+            return apply_pairs
+
+        apply_C = build_pair_apply(C_np)
+
+        if meq_kind == "from_feq":
+            # exact image of the quadratic equilibrium (D3Q19 d'Humieres):
+            # f - feq is shift-invariant, so this form composes with
+            # deviation storage as-is
+            cdf = apply_C([read(qi) - feq_raw(qi) for qi in range(nq)])
+
+            def fpost_mrt(qi):
+                return read(qi) - (cdf[qi] if cdf[qi] is not None else 0.0)
+            return fpost_mrt
+
+        # analytic equilibrium moments (utils.moments formulas), computed
+        # from the prelude's rho/u (== m[0], m[1..d]/rho exactly); gated
+        # off under deviation storage (meq is not shift-invariant)
+        j = [rho * uc for uc in u]
+        jx = j[0]
         if meq_kind == "lallemand":
-            jy = m[2]
+            jy = j[1]
             j2 = jx * jx + jy * jy
-            meq = [rho_m, jx, jy,
+            meq = [rho, jx, jy,
                    (1.0 / 3.0) * (jx * jx - jy * jy),
                    (1.0 / 3.0) * (jx * jy),
-                   -2.0 * rho_m + 3.0 * j2,
+                   -2.0 * rho + 3.0 * j2,
                    -jx, -jy,
-                   rho_m - 3.0 * j2]
+                   rho - 3.0 * j2]
         elif meq_kind == "dellar":
-            jy = m[2]
-            inv_r = 1.0 / rho_m
-            meq = [rho_m, jx, jy,
+            jy = j[1]
+            inv_r = 1.0 / rho
+            meq = [rho, jx, jy,
                    jx * jx * inv_r * 4.5,
                    jx * jy * inv_r * 9.0,
                    jy * jy * inv_r * 4.5,
-                   0.0, 0.0, 0.0]
+                   None, None, None]
         elif meq_kind == "hermite27":
             # tensor-Hermite equilibrium moments: products of momenta over
             # rho^(order-1) (utils.moments.D3Q27Hermite.equilibrium). The
             # reference's native path has no MRT at all.
             from ...utils.moments import _HERMITE_MULTIINDICES
-            jy, jz = m[2], m[3]
-            inv_r = 1.0 / rho_m
+            jy, jz = j[1], j[2]
+            inv_r = 1.0 / rho
             comp = [jx, jy, jz]
             sq = [None, None, None]
             inv_pow = {0: None, 1: inv_r}
             for n in (2, 3, 4, 5):
                 inv_pow[n] = inv_pow[n - 1] * inv_r
-            meq = [rho_m, jx, jy, jz]
+            meq = [rho, jx, jy, jz]
             for idx in _HERMITE_MULTIINDICES[4:]:
                 order = sum(idx)
                 val = None
@@ -601,28 +663,65 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                     fct = comp[a] if n == 1 else sq[a]
                     val = fct if val is None else val * fct
                 meq.append(val * inv_pow[order - 1])
-        elif meq_kind == "from_feq":
-            # exact moment-space image of the quadratic equilibrium
-            # (D3Q19 d'Humieres): identical to the jnp transform's
-            # f-space roundtrip, one extra static matvec
-            meq = [matvec_row(M, k, feq_raw) for k in range(nq)]
         else:
             raise NotImplementedError(meq_kind)
 
-        relaxed = []
+        # A meq with A = Minv diag(1/tau): parity of moment k under
+        # q -> qbar makes A's columns pair up the same way, so the even
+        # (p_k = +1) and odd (p_k = -1) accumulations are shared per pair
+        A_np = Minv_np * s_np[None, :]
+        p_k = np.zeros(nq)
         for k in range(nq):
-            s_inv = 1.0 / taus[k]
-            if isinstance(meq[k], float) and meq[k] == 0.0:
-                relaxed.append(m[k] - s_inv * m[k])
-            else:
-                relaxed.append(m[k] - s_inv * (m[k] - meq[k]))
+            row = M_np[k][perm]
+            if np.allclose(row, M_np[k], atol=1e-11):
+                p_k[k] = 1.0
+            elif np.allclose(row, -M_np[k], atol=1e-11):
+                p_k[k] = -1.0
 
-        post = {}
+        cf = apply_C([read(qi) for qi in range(nq)])
+        g = [None] * nq
+        if np.all(p_k != 0.0) and np.allclose(
+                A_np[perm], A_np * p_k[None, :], atol=1e-11):
+            even_k = [k for k in range(nq) if p_k[k] > 0]
+            odd_k = [k for k in range(nq) if p_k[k] < 0]
+
+            def dot_k(qi, ks):
+                acc = None
+                for k in ks:
+                    c, v = float(A_np[qi][k]), meq[k]
+                    if c == 0.0 or v is None:
+                        continue
+                    t = v if c == 1.0 else v * c
+                    acc = t if acc is None else acc + t
+                return acc
+
+            for qi in range(nq):
+                if perm[qi] < qi:
+                    continue
+                ev, od = dot_k(qi, even_k), dot_k(qi, odd_k)
+                g[qi] = (ev if od is None else
+                         od if ev is None else ev + od)
+                if perm[qi] != qi:
+                    g[perm[qi]] = (ev if od is None else
+                                   -od if ev is None else ev - od)
+        else:  # pragma: no cover - all generated transforms have parity
+            for qi in range(nq):
+                acc = None
+                for k in range(nq):
+                    c, v = float(A_np[qi][k]), meq[k]
+                    if c == 0.0 or v is None:
+                        continue
+                    t = v if c == 1.0 else v * c
+                    acc = t if acc is None else acc + t
+                g[qi] = acc
 
         def fpost_mrt(qi):
-            if qi not in post:
-                post[qi] = matvec_row(Minv, qi, lambda k: relaxed[k])
-            return post[qi]
+            out = read(qi)
+            if cf[qi] is not None:
+                out = out - cf[qi]
+            if g[qi] is not None:
+                out = out + g[qi]
+            return out
         return fpost_mrt
 
     if kind == "kbc":
@@ -1502,9 +1601,13 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     params = gate_fused_params(simulation, allow_hybrid=True)
     hybrid = params.pop("hybrid_boundaries", ())
     pad_plan = params.pop("pad_plan", None)
-    if dev_storage and params["collision_spec"][0] == "mrt":
-        raise NotImplementedError("MRT fragment is not shift-invariant; "
-                                  "half storage unsupported")
+    if (dev_storage and params["collision_spec"][0] == "mrt"
+            and params["collision_spec"][4] != "from_feq"):
+        # analytic equilibrium moments are not shift-invariant in f; the
+        # folded from_feq form works on f - feq and composes fine
+        raise NotImplementedError("analytic-moment MRT fragment is not "
+                                  "shift-invariant; half storage "
+                                  "unsupported")
     if hybrid and dev_storage:
         raise NotImplementedError("hybrid outlet fix-up operates on f; "
                                   "half storage unsupported")
@@ -1638,7 +1741,8 @@ def build_fused_multi_step(simulation: "Simulation",
     nsm = simulation.no_streaming_mask
     if nsm is not None and not bool(np.any(np.asarray(nsm))):
         nsm = None
-    if dev_storage and params["collision_spec"][0] == "mrt":
+    if (dev_storage and params["collision_spec"][0] == "mrt"
+            and params["collision_spec"][4] != "from_feq"):
         return None
 
     q = simulation.flow.stencil.q

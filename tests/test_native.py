@@ -334,6 +334,40 @@ def test_native_formerly_unsplittable_grid_now_padded():
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-6)
 
 
+def test_half_storage_mrt_dhumieres():
+    """d'Humieres MRT in bf16 deviation storage: the folded fragment works
+    on f - feq, which is shift-invariant, so half storage composes (the
+    analytic-moment transforms stay gated to plain storage)."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    def collision(flow):
+        transform = lt.D3Q19DHumieres(flow.stencil, flow.context)
+        taus = [1.0, 1.2, 1.1, 1.0, 1.3, 1.0, 1.3, 1.0, 1.3,
+                0.9, 1.1, 0.9, 1.1, 0.9, 0.9, 0.9, 1.2, 1.2, 1.2]
+        return lt.MRTCollision(transform, taus, flow.context)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, collision(flow_ref), [])
+    assert sim_ref._step_kind == "pallas"
+    sim_ref(10)
+
+    flow_h = make()
+    sim_h = lt.Simulation(flow_h, collision(flow_h), [],
+                          half_storage=True)
+    assert sim_h._step_dev is not None
+    sim_h(10)
+
+    u_rel = (np.abs(np.asarray(flow_h.u() - flow_ref.u())).max()
+             / np.abs(np.asarray(flow_ref.u())).max())
+    assert u_rel < 0.02, f"half-storage MRT drift {u_rel}"
+    np.testing.assert_allclose(float(flow_h.rho().sum()),
+                               float(flow_ref.rho().sum()), rtol=1e-4)
+
+
 def test_half_storage_on_formerly_unsplittable_grid():
     """bf16 deviation storage doubles the halo depth (yhalo=16): a y extent
     of 8 supports the f32 kernel but used to reject the bf16 one — with
