@@ -460,14 +460,23 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
     if kind == "trt":
         _, tau_plus, tau_minus = spec
         cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
+        trt_cache = {}
 
         def fpost_trt(qi):
+            # the relaxed symmetric/antisymmetric parts are shared between
+            # +e and -e explicitly (Mosaic does not CSE commuted adds)
             qo = int(opposite[qi])
-            fi, fo = read(qi), read(qo)
-            feqi, feqo = feq_raw(qi), feq_raw(qo)
-            sp = (fi + fo) - (feqi + feqo)
-            sm = (fi - fo) - (feqi - feqo)
-            return fi - cp * sp - cm * sm
+            key = (qi, qo) if qi <= qo else (qo, qi)
+            parts = trt_cache.get(key)
+            if parts is None:
+                fa, fb = read(key[0]), read(key[1])
+                fea, feb = feq_raw(key[0]), feq_raw(key[1])
+                sp = cp * ((fa + fb) - (fea + feb))
+                sm = cm * ((fa - fb) - (fea - feb))
+                parts = trt_cache[key] = (sp, sm)
+            sp, sm = parts
+            return (read(qi) - sp - sm if qi == key[0]
+                    else read(qi) - sp + sm)
         return fpost_trt
 
     if kind in ("reg", "smag"):
@@ -491,24 +500,32 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         if kind == "reg":
             fac = 1.0 - 1.0 / tau
             inv2cs4 = 0.5 / (cs2 * cs2)
+            proj_cache = {}
 
             def fpost_reg(qi):
-                # Q_q : Pi_neq with Q = e e - cs2 I (static coefficients)
-                acc = None
-                for (a, b) in pairs:
-                    if Pi[(a, b)] is None:
-                        continue
-                    coef = float(e[qi, a]) * float(e[qi, b])
-                    if a == b:
-                        coef -= cs2
-                    else:
-                        coef *= 2.0  # symmetric off-diagonals
-                    if coef == 0.0:
-                        continue
-                    term = Pi[(a, b)] * coef
-                    acc = term if acc is None else acc + term
-                fi1 = (float(w[qi]) * inv2cs4) * acc
-                return feq_raw(qi) + fac * fi1
+                # Q_q : Pi_neq with Q = e e - cs2 I (static coefficients).
+                # Q is EVEN under e -> -e, so opposite directions share
+                # the whole projection (and the weight): cache per
+                # canonical direction, halving the dominant matvec
+                key = canonical(qi)
+                fi1 = proj_cache.get(key)
+                if fi1 is None:
+                    acc = None
+                    for (a, b) in pairs:
+                        if Pi[(a, b)] is None:
+                            continue
+                        coef = float(e[qi, a]) * float(e[qi, b])
+                        if a == b:
+                            coef -= cs2
+                        else:
+                            coef *= 2.0  # symmetric off-diagonals
+                        if coef == 0.0:
+                            continue
+                        term = Pi[(a, b)] * coef
+                        acc = term if acc is None else acc + term
+                    fi1 = (float(w[qi]) * inv2cs4 * fac) * acc
+                    proj_cache[key] = fi1
+                return feq_raw(qi) + fi1
             return fpost_reg
 
         # smagorinsky: effective tau field by 2-step fixed point
