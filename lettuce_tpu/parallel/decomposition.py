@@ -479,7 +479,10 @@ class DomainDecomposition:
         if params.pop("pad_plan", None) is not None:
             raise NotImplementedError(
                 "ghost-image padding not composed with sharding")
-        if dev and params["collision_spec"][0] == "mrt":
+        if (dev and params["collision_spec"][0] == "mrt"
+                and params["collision_spec"][4] != "from_feq"):
+            # analytic-moment MRT is not shift-invariant (stream_collide's
+            # dev gate); the folded from_feq form composes with bf16-dev
             raise NotImplementedError
 
         n_sx, n_sy = self.mesh_shape
@@ -624,7 +627,8 @@ class DomainDecomposition:
                 if params.pop("pad_plan", None) is not None:
                     raise NotImplementedError(
                         "ghost-image padding not composed with sharding")
-                if dev and params["collision_spec"][0] == "mrt":
+                if (dev and params["collision_spec"][0] == "mrt"
+                        and params["collision_spec"][4] != "from_feq"):
                     raise NotImplementedError
                 # the kernel re-plans at trace time on the LOCAL shape —
                 # verify it splits (else raise here, where the jnp

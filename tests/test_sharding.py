@@ -192,6 +192,39 @@ def test_sharded_half_storage():
     np.testing.assert_allclose(a.sum(), 64 * 16 * 128, rtol=1e-4)
 
 
+def test_sharded_half_storage_mrt_dhumieres():
+    """The folded d'Humieres MRT fragment (shift-invariant in f - feq)
+    composes with bf16 deviation storage under sharding too."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    def collision(flow):
+        transform = lt.D3Q19DHumieres(flow.stencil, flow.context)
+        taus = [1.0, 1.2, 1.1, 1.0, 1.3, 1.0, 1.3, 1.0, 1.3,
+                0.9, 1.1, 0.9, 1.1, 0.9, 0.9, 0.9, 1.2, 1.2, 1.2]
+        return lt.MRTCollision(transform, taus, flow.context)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, collision(flow_ref), [],
+                            half_storage=True)
+    assert sim_ref._step_dev is not None
+    sim_ref(10)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, collision(flow_sh), [],
+                           decomposition=decomp, half_storage=True)
+    assert sim_sh._step_dev is not None
+    sim_sh(10)
+
+    a, b = np.asarray(flow_sh.f), np.asarray(flow_ref.f)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a.sum(), 64 * 16 * 128, rtol=1e-4)
+
+
 def test_sharded_obstacle_flow(ctx64):
     """The flagship open-boundary case (inlet + anti-bounce-back outlet +
     obstacle) under sharding. The outlet face spans x=-1, so the domain is
