@@ -806,14 +806,24 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
             feq_t[qm] = wq * (c_eff - re)
 
         # 1/feq by opposite-pair conjugation: 1/feq(+e) =
-        # feq(-e)/(feq(+e)*feq(-e)) — one f32 division per PAIR instead
+        # feq(-e)/(feq(+e)*feq(-e)) — one reciprocal per PAIR instead
         # of per direction (27 -> 14 on D3Q27; divides are the VPU's
-        # most expensive primitive here)
+        # most expensive primitive here). The reciprocal itself uses the
+        # TPU's approximate-reciprocal unit refined by one Newton step
+        # (rel err ~1e-5, only feeds the gamma stabiliser) instead of a
+        # full-precision divide; f32 only — other dtypes keep the divide.
+        if getattr(rho, "dtype", None) == jnp.float32:
+            def _recip(x):
+                y = pl.reciprocal(x, approx=True)
+                return y * (2.0 - x * y)
+        else:
+            def _recip(x):
+                return 1.0 / x
         recip_feq = {}
         if rest is not None:
-            recip_feq[rest] = 1.0 / feq_t[rest]
+            recip_feq[rest] = _recip(feq_t[rest])
         for qp, qm in pairs:
-            invpm = 1.0 / (feq_t[qp] * feq_t[qm])
+            invpm = _recip(feq_t[qp] * feq_t[qm])
             recip_feq[qp] = feq_t[qm] * invpm
             recip_feq[qm] = feq_t[qp] * invpm
 
