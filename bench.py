@@ -18,7 +18,7 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "")  # let jax pick TPU if present
 
 
-def watchdog(timeout_s: int = 660, retries: int = 1) -> int:
+def watchdog(timeout_s: int = 660, retries: int = 2) -> int:
     """Run this script as a child with a timeout; retry once on a hang or
     crash; forward the child's final JSON line."""
     env = dict(os.environ, LETTUCE_BENCH_CHILD="1")

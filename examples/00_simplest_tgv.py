@@ -3,6 +3,12 @@ examples/00_simplest_TGV.py)."""
 
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from any cwd without installing
+
 import lettuce_tpu as lt
 
 context = lt.Context(dtype=jnp.float32)

@@ -3,6 +3,12 @@ analytic solution (mirrors examples/01a_first_example_TGV.ipynb)."""
 
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from any cwd without installing
+
 import lettuce_tpu as lt
 
 context = lt.Context(dtype=jnp.float32)

@@ -14,6 +14,12 @@ Two deliberate upgrades over the reference configuration:
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from any cwd without installing
+
 import lettuce_tpu as lt
 
 context = lt.Context(dtype=jnp.float32)

@@ -9,6 +9,12 @@ coarse simulation matches the analytic TGV decay.
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from any cwd without installing
+
 import lettuce_tpu as lt
 
 

@@ -11,6 +11,11 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from any cwd without installing
+
 import lettuce_tpu as lt
 
 os.makedirs("./data", exist_ok=True)
