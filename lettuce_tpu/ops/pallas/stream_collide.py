@@ -636,7 +636,11 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
 
         # analytic equilibrium moments (utils.moments formulas), computed
         # from the prelude's rho/u (== m[0], m[1..d]/rho exactly); gated
-        # off under deviation storage (meq is not shift-invariant)
+        # off under deviation storage (meq is not shift-invariant, and
+        # C f below reads raw populations)
+        if dev_storage:
+            raise NotImplementedError(
+                "analytic-moment MRT fragment under deviation storage")
         j = [rho * uc for uc in u]
         jx = j[0]
         if meq_kind == "lallemand":
