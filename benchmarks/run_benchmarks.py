@@ -131,6 +131,11 @@ def main():
              lt.D3Q19DHumieres(flow.torch_stencil, flow.context),
              [flow.units.relaxation_parameter_lu] * 19,
              flow.context)),
+        ("trt3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
+            ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
+            initialize_fneq=False),
+         lambda flow: lt.TRTCollision(
+             tau=flow.units.relaxation_parameter_lu)),
         ("smag3d_256_d3q19", lambda ctx: lt.TaylorGreenVortex(
             ctx, 256 // scale, 1600, 0.05, stencil=lt.D3Q19(),
             initialize_fneq=False),

@@ -159,7 +159,8 @@ def _build_one_fixup(simulation: "Simulation", index_h: int,
 
 
 def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
-                             outlet: "Boundary", pernode, shard_axis: int):
+                             outlet: "Boundary", pernode, shard_axis: int,
+                             pad_plan=None):
     """Shard-local window fix-up for one outlet (``shard_map`` body).
 
     Same windowed replay as :func:`_build_one_fixup`, with two
@@ -179,6 +180,15 @@ def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
     the caller's ppermute edge-plane fix overwrites exactly those planes
     afterwards with globally-correct values (which include every
     boundary, applied on the neighbour's edge slab).
+
+    With ``pad_plan`` (ghost-image padding on the LOCAL shard shape,
+    whose padded axes are all unsharded) the operands carry ghost-image
+    bands: the window is taken at the true face-axis extent, transverse
+    ghost bands are stripped before the replay (rolls must wrap at true
+    extents — the shard axis is never padded, so its local wrap
+    semantics are unchanged), and the write-back targets the true
+    region only; the caller's post-step image refresh re-propagates the
+    corrections onto the ghost bands.
     """
     flow = simulation.flow
     e = np.asarray(flow.stencil.e)
@@ -186,6 +196,18 @@ def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
     assert axis != shard_axis
     n = int(flow.resolution[axis])
     n_sub = 1
+    strip_f = (pad_plan.transverse_true_slices(axis, lead=1)
+               if pad_plan is not None else None)
+    strip_g = (pad_plan.transverse_true_slices(axis, lead=0)
+               if pad_plan is not None else None)
+
+    def _strip(arr, sub):
+        if not sub or arr is None:
+            return arr
+        sel = [slice(None)] * arr.ndim
+        for ax, s in sub.items():
+            sel[ax] = s
+        return arr[tuple(sel)]
 
     ncm_np = np.asarray(simulation.no_collision_mask)
     owned = np.nonzero(ncm_np == index_h)[axis]
@@ -207,12 +229,14 @@ def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
     collision = simulation.collision
 
     def fixup(f_pre, f_kernel, ncm_l, nsm_l, feq_l):
-        f_win = _take_window(f_pre, axis + 1, win_lo, width, n)
-        ncm_win = _take_window(ncm_l, axis, win_lo, width, n)
-        nsm_win = (None if nsm_l is None else
-                   _take_window(nsm_l, axis + 1, win_lo, width, n))
-        feq_win = (None if feq_l is None else
-                   _take_window(feq_l, axis + 1, win_lo, width, n))
+        f_win = _strip(_take_window(f_pre, axis + 1, win_lo, width, n),
+                       strip_f)
+        ncm_win = _strip(_take_window(ncm_l, axis, win_lo, width, n),
+                         strip_g)
+        nsm_win = (None if nsm_l is None else _strip(
+            _take_window(nsm_l, axis + 1, win_lo, width, n), strip_f))
+        feq_win = (None if feq_l is None else _strip(
+            _take_window(feq_l, axis + 1, win_lo, width, n), strip_f))
         fpost = jnp.where(ncm_win == 0, collision(flow.view(f_win)), f_win)
         for i, boundary in enumerate(boundaries, start=1):
             if i in pernode:
@@ -224,20 +248,23 @@ def _build_one_fixup_sharded(simulation: "Simulation", index_h: int,
         tsel = [slice(None)] * f_win.ndim
         tsel[axis + 1] = slice(n_sub, width - n_sub)
         return _set_window(f_kernel, f_win[tuple(tsel)], axis + 1,
-                           win_lo + n_sub, width - 2 * n_sub, n)
+                           win_lo + n_sub, width - 2 * n_sub, n,
+                           sub=strip_f)
 
     return fixup
 
 
 def build_hybrid_fixup_sharded(simulation: "Simulation",
-                               hybrid, pernode, shard_axis: int):
+                               hybrid, pernode, shard_axis: int,
+                               pad_plan=None):
     """Shard-local fix-up for every frozen outlet; see
     :func:`_build_one_fixup_sharded`. Returns
     ``fixup(f_pre, f_kernel, ncm_l, nsm_l, feq_l)`` or raises
     ``NotImplementedError`` for configurations outside the windowed
     formulation (caller falls back to the jnp sharded step)."""
     parts = [_build_one_fixup_sharded(simulation, index_h, outlet,
-                                      pernode, shard_axis)
+                                      pernode, shard_axis,
+                                      pad_plan=pad_plan)
              for index_h, outlet in hybrid]
     if len(parts) == 1:
         return parts[0]

@@ -240,13 +240,31 @@ def plan_padding(shape, q: int, dtype,
                 unit = mult
             padded[1] = _next_multiple(shape[1] + 2, unit, shape[1] + 2)
 
-    # ---- x axis: pad when only degenerate block splits exist ----
+    # ---- x axis: pad when only degenerate block splits exist, and only
+    # onto an extent whose split is STRICTLY better. The score prefers
+    # temporal-blocking-compatible splits (bx % 4, then bx % 2) over raw
+    # block size: e.g. 256 at target 5 splits as bx=4 (blockable) while
+    # the padded 260 would land on the odd divisor 5, which forbids
+    # n_sub > 1 and runs ~3x slower — measured on regularized D3Q27 ----
     tx = _x_block_target(shape[0], q, d, S, itemsize, block_target,
                          block_target_2d)
+
+    def _score(n):
+        b = _pick_block(n, tx)
+        if b is None:
+            return (-1, -1)
+        return (int(b % 4 == 0), int(b % 2 == 0))
+
     bx = _pick_block(shape[0], tx)
     if bx is not None and bx < min(8, tx):
         unit = 8 if tx >= 8 else 4
-        padded[0] = _next_multiple(shape[0] + 2, unit, shape[0] + 2)
+        cur = _score(shape[0])
+        px = _next_multiple(shape[0] + 2, unit, shape[0] + 2)
+        for _ in range(3):
+            if _score(px) > cur:  # smallest strictly better pad wins
+                padded[0] = px
+                break
+            px += unit
 
     padded = tuple(padded)
     if padded == shape:

@@ -178,7 +178,7 @@ class DomainDecomposition:
                            axis_name: str, n_shards: int,
                            pernode: Tuple[int, ...] = (),
                            dev: bool = False, shard_axis: int = 0,
-                           hybrid_fixup=None):
+                           hybrid_fixup=None, pad=None):
         """Per-shard fused-Pallas step with halo fix-up.
 
         The fused kernel runs on the local shard with *locally periodic*
@@ -199,6 +199,18 @@ class DomainDecomposition:
         neighbour's edge-slab collision applies every boundary,
         including the outlets — their face axis is complete on any
         slab along the sharded axis).
+
+        With ``pad`` (a ``PadPlan`` on the local shard shape whose padded
+        axes are all UNsharded — ``shard_step`` guarantees this) the
+        state carries ghost-image bands on the padded axes. Padding
+        commutes with the sharded step: the images are periodic along
+        unsharded axes, so they are local in the sharded axis, ride the
+        ppermute exchanges unchanged, and the padded modular rolls of
+        the edge fix read image bands holding exactly the wrap values a
+        true-extent roll would have read. After the edge planes are
+        written, leading-axis image bands are refreshed from the valid
+        region and the minor-axis image bands of the two written planes
+        are repaired (the kernel's in-VMEM minor fix covered the rest).
         """
         import numpy as np_
 
@@ -293,6 +305,19 @@ class DomainDecomposition:
                         fixed = jnp.where(nsm_l[(qi,) + last_sel],
                                           out[(qi,) + last_sel], fixed)
                     out = out.at[(qi,) + last_sel].set(fixed)
+            if pad is not None:
+                # rewrite the ghost-image bands from the (now exact) valid
+                # region. A hybrid fix-up rewrote whole window planes, so
+                # their minor bands need the full refresh; otherwise the
+                # kernel's in-VMEM minor fix is still valid everywhere
+                # except the two ppermute-written edge planes, repaired
+                # here at O(plane) cost.
+                full = hybrid_fixup is not None
+                out = pad.refresh(out, skip_minor=not full)
+                if not full and pad.minor_image is not None:
+                    for sel in (first_sel, last_sel):
+                        s = (slice(None),) + sel
+                        out = out.at[s].set(pad.refresh(out[s]))
             return out
 
         return step
@@ -336,14 +361,42 @@ class DomainDecomposition:
         except NotImplementedError:
             return None
         params.pop("feq_field", None)
-        if params.pop("pad_plan", None) is not None:
-            return None  # ghost-image padding not composed with sharding
+        # the global pad plan is irrelevant per shard; re-plan ghost-image
+        # padding on the LOCAL shard shape (padded axes must all be
+        # unsharded — the images are periodic along unsharded axes, so
+        # they are local in every sharded axis and ride the halo
+        # exchanges unchanged; in-slab sub-steps keep them valid for
+        # ``max_n_sub`` steps exactly as in the single-device blocked path)
+        params.pop("pad_plan", None)
+        params.pop("yhalo_rows", None)
 
         d = flow.stencil.d
         n_shards = self.mesh_shape[0]
         local_x = flow.resolution[0] // n_shards
         dtype = jnp.bfloat16 if dev else flow.f.dtype
         q = flow.stencil.q
+
+        from ..ops.pallas.padding import plan_padding
+        local_shape = list(flow.resolution)
+        local_shape[0] = local_x
+        if self.grid_axes == (0, 1):
+            local_shape[1] //= self.mesh_shape[1]
+        try:
+            lp = plan_padding(tuple(local_shape), q, dtype,
+                              block_target=params.get("block_target",
+                                                      (16, 32)))
+        except NotImplementedError:
+            return None
+        pad = lp if (lp is not None and lp.axes) else None
+        if pad is not None:
+            if any(a in set(self.grid_axes) for (a, *_r) in pad.axes):
+                return None  # cannot pad a sharded axis
+            if n_sub > pad.max_n_sub:
+                return None  # images go stale within one launch
+            params["minor_image"] = pad.minor_image
+        if lp is not None and lp.yhalo_rows is not None:
+            params["yhalo_rows"] = lp.yhalo_rows
+        padded_local = lp.padded if lp is not None else tuple(local_shape)
 
         if self.grid_axes == (0, 1):
             # 2D mesh: y halo deep enough for the blocked sweep's reach
@@ -356,13 +409,14 @@ class DomainDecomposition:
             if local_y <= hy or local_x < n_sub:
                 return None
             ext_shape = (local_x + 2 * n_sub, local_y + 2 * hy,
-                         flow.resolution[2])
+                         padded_local[2])
         else:
-            ext_shape = (local_x + 2 * n_sub,) + tuple(flow.resolution[1:])
+            ext_shape = (local_x + 2 * n_sub,) + tuple(padded_local[1:])
         try:
             # same block target the kernel will re-plan with at trace time
             bx, _, yhalo, S = plan_blocks(
                 ext_shape, q, dtype,
+                yhalo_rows=params.get("yhalo_rows"),
                 block_target=params.get("block_target", (16, 32)))
             if bx % n_sub != 0 or (d == 3 and n_sub * S > yhalo):
                 return None
@@ -425,8 +479,14 @@ class DomainDecomposition:
             out = fused_stream_collide(ext, dev_storage=dev,
                                        n_sub=n_sub, **kw)
             if y_name is not None:
-                return out[:, n_sub:-n_sub, hy:-hy]
-            return out[:, n_sub:-n_sub]
+                out = out[:, n_sub:-n_sub, hy:-hy]
+            else:
+                out = out[:, n_sub:-n_sub]
+            if pad is not None and pad.leading_axes_padded:
+                # leading-axis ghost images are refreshed per launch
+                # (the kernel's in-VMEM fix covered the minor bands)
+                out = pad.refresh(out, skip_minor=True)
+            return out
 
         fspec = self.f_spec(d)
         in_specs = (fspec,
@@ -436,6 +496,14 @@ class DomainDecomposition:
         mapped = shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
                            out_specs=fspec)
 
+        # static fields see full image semantics on the padded axes
+        if pad is not None:
+            if has_ncm:
+                ncm = jnp.asarray(pad.pad_static(ncm, lead=0))
+            if has_nsm:
+                nsm = jnp.asarray(pad.pad_static(nsm, lead=1))
+            if has_feq:
+                feq_field = jnp.asarray(pad.pad_static(feq_field, lead=1))
         ncm_arg = self.shard_grid_array(ncm) if has_ncm \
             else jnp.zeros((), dtype=jnp.uint8)
         nsm_arg = self.shard_f(nsm) if has_nsm \
@@ -445,6 +513,9 @@ class DomainDecomposition:
 
         def stepper(f):
             return mapped(f, ncm_arg, nsm_arg, feq_arg)
+        stepper.pad_codec = (self._pad_codec(pad, d)
+                             if pad is not None else None)
+        stepper.pad_plan = pad
         return stepper, n_sub
 
     def _try_2dmesh_native_step(self, simulation: "Simulation",
@@ -476,9 +547,11 @@ class DomainDecomposition:
             raise NotImplementedError
         params = gate_fused_params(simulation)
         params.pop("feq_field", None)
-        if params.pop("pad_plan", None) is not None:
-            raise NotImplementedError(
-                "ghost-image padding not composed with sharding")
+        # re-plan ghost-image padding on the LOCAL shard shape; only the
+        # minor (z) axis may pad — x and y are both sharded here, and
+        # images must live on unsharded axes to stay shard-local
+        params.pop("pad_plan", None)
+        params.pop("yhalo_rows", None)
         if (dev and params["collision_spec"][0] == "mrt"
                 and params["collision_spec"][4] != "from_feq"):
             # analytic-moment MRT is not shift-invariant (stream_collide's
@@ -494,8 +567,21 @@ class DomainDecomposition:
         hy = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
         if ly <= hy or lx < 2:
             raise NotImplementedError("shards smaller than the halo")
-        ext_shape = (lx + 2, ly + 2 * hy, nz)
+        from ..ops.pallas.padding import plan_padding
+        lp = plan_padding((lx, ly, nz), flow.stencil.q, dtype,
+                          block_target=params.get("block_target", (16, 32)))
+        pad = lp if (lp is not None and lp.axes) else None
+        if pad is not None:
+            if any(a != 2 for (a, *_r) in pad.axes):
+                raise NotImplementedError(
+                    "ghost-image padding on a sharded axis")
+            params["minor_image"] = pad.minor_image
+        if lp is not None and lp.yhalo_rows is not None:
+            params["yhalo_rows"] = lp.yhalo_rows
+        nz_p = lp.padded[2] if lp is not None else nz
+        ext_shape = (lx + 2, ly + 2 * hy, nz_p)
         plan_blocks(ext_shape, flow.stencil.q, dtype,
+                    yhalo_rows=params.get("yhalo_rows"),
                     block_target=params.get("block_target", (16, 32)))
 
         ncm = simulation.no_collision_mask
@@ -511,6 +597,8 @@ class DomainDecomposition:
             assembled as one global array whose even sharding hands each
             shard its own halo-extended window."""
             a = np.asarray(arr)
+            if pad is not None:  # image semantics on the padded minor axis
+                a = pad.pad_static(a, lead=lead)
             x_idx = np.concatenate(
                 [np.arange(i * lx - 1, i * lx + lx + 1) % nx
                  for i in range(n_sx)])
@@ -558,6 +646,9 @@ class DomainDecomposition:
         def step(f):
             return mapped(f, ncm_e, nsm_e, feq_e)
 
+        step.pad_codec = self._pad_codec(pad, d) if pad is not None else None
+        step.pad_plan = pad
+        step.step_path = "pallas"
         return step
 
     def shard_step(self, simulation: "Simulation", dev: bool = False):
@@ -616,6 +707,7 @@ class DomainDecomposition:
         # boundaries ride the kernel via the shard-local window fix-up)
         native_step = None
         hybrid = ()
+        pad = None
         if simulation.context.use_native and len(self.grid_axes) == 1:
             try:
                 from ..ops.pallas.stream_collide import gate_fused_params
@@ -624,27 +716,36 @@ class DomainDecomposition:
                 # the combined feq field is a shard_map operand, sliced per
                 # shard — not a baked-in global constant
                 params.pop("feq_field", None)
-                if params.pop("pad_plan", None) is not None:
-                    raise NotImplementedError(
-                        "ghost-image padding not composed with sharding")
+                # the global pad plan is irrelevant per shard — padding is
+                # re-planned below on the LOCAL shard shape
+                params.pop("pad_plan", None)
+                params.pop("yhalo_rows", None)
                 if (dev and params["collision_spec"][0] == "mrt"
                         and params["collision_spec"][4] != "from_feq"):
                     raise NotImplementedError
                 # the kernel re-plans at trace time on the LOCAL shape —
-                # verify it splits (else raise here, where the jnp
-                # fallback exists, not inside shard_map)
+                # plan ghost-image padding for it here (raising where the
+                # jnp fallback exists, not inside shard_map). Padding on
+                # any UNsharded axis commutes with the sharded step (its
+                # periodic images are local in the sharded axis); padding
+                # the sharded axis itself does not.
                 from ..ops.pallas.padding import plan_padding
-                from ..ops.pallas.stream_collide import plan_blocks
+                sa = self.grid_axes[0]
                 local_shape = list(flow.resolution)
-                local_shape[self.grid_axes[0]] //= self.mesh_shape[0]
+                local_shape[sa] //= self.mesh_shape[0]
                 ldtype = jnp.bfloat16 if dev else flow.f.dtype
                 bt = params.get("block_target", (16, 32))
-                if plan_padding(tuple(local_shape), flow.stencil.q,
-                                ldtype, block_target=bt) is not None:
+                lp = plan_padding(tuple(local_shape), flow.stencil.q,
+                                  ldtype, block_target=bt)
+                pad = lp if (lp is not None and lp.axes) else None
+                if pad is not None and any(
+                        a == sa for (a, *_r) in pad.axes):
                     raise NotImplementedError(
-                        "local shard shape needs ghost-image padding")
-                plan_blocks(tuple(local_shape), flow.stencil.q, ldtype,
-                            block_target=bt)
+                        "ghost-image padding on the sharded axis")
+                if lp is not None and lp.yhalo_rows is not None:
+                    params["yhalo_rows"] = lp.yhalo_rows
+                if pad is not None:
+                    params["minor_image"] = pad.minor_image
                 fixup = None
                 if hybrid:
                     if dev:
@@ -653,13 +754,16 @@ class DomainDecomposition:
                     from ..ops.pallas.hybrid_outlets import (
                         build_hybrid_fixup_sharded)
                     fixup = build_hybrid_fixup_sharded(
-                        simulation, hybrid, pernode, self.grid_axes[0])
+                        simulation, hybrid, pernode, self.grid_axes[0],
+                        pad_plan=pad)
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
                     self.mesh_shape[0], pernode=pernode, dev=dev,
-                    shard_axis=self.grid_axes[0], hybrid_fixup=fixup)
+                    shard_axis=self.grid_axes[0], hybrid_fixup=fixup,
+                    pad=pad)
             except NotImplementedError:
                 native_step = None
+                pad = None
         if dev and native_step is None:
             raise NotImplementedError(
                 "deviation storage requires the fused kernel path")
@@ -694,15 +798,31 @@ class DomainDecomposition:
         mapped = shard_map(local_step, mesh=self.mesh,
                            in_specs=in_specs, out_specs=fspec)
 
-        ncm_arg = self.shard_grid_array(ncm) if has_ncm \
+        # with ghost-image padding the kernel step sees padded operands:
+        # static fields get full image semantics (ghost nodes compute
+        # their sources' physics), all on UNsharded axes only
+        ncm_s, nsm_s, feq_s = ncm, nsm, feq_field
+        if pad is not None:
+            if has_ncm:
+                ncm_s = jnp.asarray(pad.pad_static(ncm, lead=0))
+            if has_nsm:
+                nsm_s = jnp.asarray(pad.pad_static(nsm, lead=1))
+            if has_feq:
+                feq_s = jnp.asarray(pad.pad_static(feq_field, lead=1))
+        ncm_arg = self.shard_grid_array(ncm_s) if has_ncm \
             else jnp.zeros((), dtype=jnp.uint8)
-        nsm_arg = self.shard_f(nsm) if has_nsm \
+        nsm_arg = self.shard_f(nsm_s) if has_nsm \
             else jnp.zeros((), dtype=bool)
-        feq_arg = self.shard_f(feq_field) if has_feq \
+        feq_arg = self.shard_f(feq_s) if has_feq \
             else jnp.zeros((), dtype=flow.f.dtype)
 
         def step(f):
             return mapped(f, ncm_arg, nsm_arg, feq_arg)
+
+        # segment-level pad/unpad codec (shard_mapped so the gather stays
+        # per-shard): Simulation pads once per compiled segment
+        step.pad_codec = self._pad_codec(pad, d) if pad is not None else None
+        step.pad_plan = pad
 
         # introspection for tests / Simulation.step_path reporting
         if native_step is None:
@@ -712,3 +832,15 @@ class DomainDecomposition:
         else:
             step.step_path = "pallas"
         return step
+
+    def _pad_codec(self, pad, d: int):
+        """shard_mapped (pad, unpad) closures over a local ``PadPlan``
+        whose padded axes are all unsharded."""
+        from ._shard_map_compat import shard_map
+
+        fspec = self.f_spec(d)
+        enc = shard_map(lambda f: pad.pad_state(f), mesh=self.mesh,
+                        in_specs=(fspec,), out_specs=fspec)
+        dec = shard_map(lambda g: pad.unpad(g), mesh=self.mesh,
+                        in_specs=(fspec,), out_specs=fspec)
+        return enc, dec

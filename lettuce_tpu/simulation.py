@@ -50,6 +50,22 @@ class Reporter(ABC):
         ...
 
 
+def _consistent_multi(step, multi):
+    """Keep a temporally-blocked sharded step only when it operates on
+    the same (possibly ghost-image-padded) state representation as the
+    single step — ``_run_mixed`` feeds both from one encoded segment
+    state, so mismatched pad plans would hand one of them wrong shapes."""
+    if multi is None:
+        return None
+    sp = getattr(step, "pad_plan", None)
+    mp = getattr(multi[0], "pad_plan", None)
+    if (sp is None) != (mp is None):
+        return None
+    if sp is not None and (sp.shape != mp.shape or sp.padded != mp.padded):
+        return None
+    return multi
+
+
 def _gcd_interval(reporters: List["Reporter"]) -> Optional[int]:
     intervals = [max(1, int(r.interval)) for r in reporters]
     if not intervals:
@@ -115,7 +131,8 @@ class Simulation:
         if self.decomposition is not None:
             self._step = self.decomposition.shard_step(self)
             self._step_kind = "sharded"
-            self._step_multi = self.decomposition.shard_multi_step(self)
+            self._step_multi = _consistent_multi(
+                self._step, self.decomposition.shard_multi_step(self))
             self.flow.f = self.decomposition.shard_f(self.flow.f)
 
         # bfloat16 deviation-form storage for the compiled segment loop
@@ -135,8 +152,9 @@ class Simulation:
                 elif self._step_kind == "sharded":
                     self._step_dev = self.decomposition.shard_step(
                         self, dev=True)
-                    self._step_dev_multi = \
-                        self.decomposition.shard_multi_step(self, dev=True)
+                    self._step_dev_multi = _consistent_multi(
+                        self._step_dev,
+                        self.decomposition.shard_multi_step(self, dev=True))
                 else:
                     raise NotImplementedError
             except NotImplementedError:

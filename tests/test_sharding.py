@@ -655,3 +655,212 @@ def test_sharded_2dmesh_temporal_blocking(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(flow_sh.f),
                                np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_native_padded_minor():
+    """Ghost-image padding composes with 1D sharding: a 96-lane minor
+    axis (not a multiple of 128) pads per shard, the kernel runs fused,
+    and the result matches the plain jnp path. Padding on unsharded axes
+    commutes with the sharded step — the periodic images are local in
+    the sharded axis."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 96], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    sim_ref(6)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas"
+    assert sim_sh._step.pad_codec is not None
+    sim_sh(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_native_padded_boundaries():
+    """Padded sharded kernel with mask-coded walls (Couette at a
+    non-aligned 100-lane minor axis): padded static masks give ghost
+    nodes their sources' physics."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.CouetteFlow2D(ctx, [64, 100], reynolds_number=10,
+                                mach_number=0.05)
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    sim_ref(6)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas"
+    assert sim_sh._step.pad_codec is not None
+    sim_sh(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_hybrid_outlet_native_padded():
+    """The sharded hybrid outlet fix-up composes with ghost-image
+    padding: a 3D obstacle flow with a 96-lane minor axis runs
+    pallas+hybrid under y sharding and matches the jnp path (window
+    replay strips transverse ghost bands; post-step refresh
+    re-propagates the corrections)."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        flow = lt.Obstacle(ctx, [16, 64, 96], reynolds_number=50,
+                           mach_number=0.05, domain_length_x=1.6)
+        x, y, z = [np.asarray(g) for g in flow.grid]
+        flow.mask = ((x - 0.8) ** 2 + (y - 3.2) ** 2
+                     + (z - 4.8) ** 2) < 0.04
+        return flow
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [])
+    sim_ref(4)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(1,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas+hybrid"
+    assert sim_sh._step.pad_codec is not None
+    sim_sh(4)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_half_storage_padded():
+    """bf16 deviation storage + sharding + ghost-image padding all
+    compose (the pad codec wraps the deviation codec per compiled
+    segment)."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 96], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(
+        flow_ref, lt.BGKCollision(flow_ref.units.relaxation_parameter_lu),
+        [], half_storage=True)
+    assert sim_ref._step_dev is not None
+    sim_ref(6)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(
+        flow_sh, lt.BGKCollision(flow_sh.units.relaxation_parameter_lu),
+        [], decomposition=decomp, half_storage=True)
+    assert sim_sh._step_dev is not None
+    assert sim_sh._step_dev.pad_codec is not None
+    sim_sh(6)
+
+    a, b = np.asarray(flow_sh.f), np.asarray(flow_ref.f)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a.sum(), 64 * 16 * 96, rtol=1e-4)
+
+
+def test_sharded_temporal_blocking_padded(monkeypatch):
+    """Temporal blocking under sharding composes with ghost-image
+    padding: the in-slab sub-steps keep the images valid (n_sub is
+    capped at the image depth), and the pad codec converts once per
+    compiled segment."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [64, 16, 96], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    assert sim_sh._step_multi[0].pad_plan is not None
+    sim_sh(6)  # 3 blocked launches
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_native_padded():
+    """The 2D-device-mesh kernel path composes with ghost-image padding
+    on the (unsharded) minor axis."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [16, 64, 96], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(4)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas"
+    assert sim_sh._step.pad_codec is not None
+    sim_sh(4)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_temporal_blocking_padded(monkeypatch):
+    """Temporal blocking on the 2D-mesh path with a padded minor axis."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [32, 128, 96], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    assert sim_sh._step_multi[0].pad_plan is not None
+    sim_sh(4)
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(4)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
