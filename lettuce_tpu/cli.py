@@ -91,11 +91,15 @@ def main(ctx, tpu, precision, use_native, device_id, cuda, cuda_native,
               help="Keep the state as bfloat16 deviations between steps "
                    "(halved traffic, f32 compute; needs the fused "
                    "kernel).")
+@click.option("--mesh", type=str, default="",
+              help="Shard the grid over a device mesh, e.g. '8' (split x "
+                   "over 8 chips) or '4,2' (x and y). Streaming becomes "
+                   "local rolls + ppermute halo exchange over ICI.")
 @click.option("--profile-out", type=str, default="",
               help="File to write cProfile results to.")
 @click.pass_obj
 def benchmark(context, steps, resolution, flow_name, vtk_out, half_storage,
-              profile_out):
+              mesh, profile_out):
     """Run a short simulation and print the throughput in MLUPS."""
     if profile_out:
         profile = cProfile.Profile()
@@ -116,11 +120,23 @@ def benchmark(context, steps, resolution, flow_name, vtk_out, half_storage,
     collision = lt.BGKCollision(tau=flow.units.relaxation_parameter_lu,
                                 force=force)
 
+    decomposition = None
+    if mesh:
+        import jax
+        mesh_shape = tuple(int(n) for n in mesh.split(","))
+        n_needed = int(np.prod(mesh_shape))
+        if n_needed > len(jax.devices()):
+            raise click.BadParameter(
+                f"mesh {mesh_shape} needs {n_needed} devices; "
+                f"{len(jax.devices())} available")
+        decomposition = lt.DomainDecomposition(mesh_shape=mesh_shape)
+
     reporters = []
     if vtk_out:
         reporters.append(lt.VTKReporter(interval=max(1, steps // 10)))
     simulation = lt.Simulation(flow, collision, reporters,
-                               half_storage=half_storage)
+                               half_storage=half_storage,
+                               decomposition=decomposition)
     mlups = simulation(steps)
 
     if profile_out:

@@ -350,7 +350,7 @@ class DomainDecomposition:
         if (not simulation.context.use_native
                 or self.grid_axes not in ((0,), (0, 1))):
             return None
-        if self.grid_axes == (0, 1) and flow.stencil.d != 3:
+        if self.grid_axes == (0, 1) and flow.stencil.d not in (2, 3):
             return None
         probe = build_fused_multi_step(simulation, dev_storage=dev)
         if probe is None:
@@ -398,7 +398,7 @@ class DomainDecomposition:
             params["yhalo_rows"] = lp.yhalo_rows
         padded_local = lp.padded if lp is not None else tuple(local_shape)
 
-        if self.grid_axes == (0, 1):
+        if self.grid_axes == (0, 1) and d == 3:
             # 2D mesh: y halo deep enough for the blocked sweep's reach
             # (one yhalo of block reads + the sub-step dependency cone,
             # bounded by 2*yhalo merged rows <= 2*yhalo natural planes)
@@ -410,6 +410,17 @@ class DomainDecomposition:
                 return None
             ext_shape = (local_x + 2 * n_sub, local_y + 2 * hy,
                          padded_local[2])
+        elif self.grid_axes == (0, 1):
+            # 2D grid on a 2D mesh: y is the minor axis — a one-tile
+            # (128-lane) halo per side keeps the extended minor extent
+            # lane-aligned and covers any realistic sub-step cone
+            from ..ops.pallas.stream_collide import LANES
+            n_sy = self.mesh_shape[1]
+            local_y = flow.resolution[1] // n_sy
+            hy = LANES
+            if local_y % LANES or local_x < n_sub:
+                return None
+            ext_shape = (local_x + 2 * n_sub, local_y + 2 * hy)
         else:
             ext_shape = (local_x + 2 * n_sub,) + tuple(padded_local[1:])
         try:
@@ -520,30 +531,38 @@ class DomainDecomposition:
 
     def _try_2dmesh_native_step(self, simulation: "Simulation",
                                 dev: bool = False):
-        """Fused kernel on a 2D (x, y) device mesh for 3D grids.
+        """Fused kernel on a 2D (x, y) device mesh for 2D and 3D grids.
 
-        Per step each shard exchanges a y halo (8 planes f32 / 16 bf16 —
-        the kernel's merged-row halo depth) and then a one-plane x halo
-        over ICI; exchanging y first means the x planes carry the y halos,
-        so corner data arrives without a diagonal ppermute. The kernel
-        then runs on the extended, locally-periodic slab and the interior
-        is kept: wrap-around garbage is confined to the halos, exactly as
-        in the 1D temporally-blocked path (:meth:`shard_multi_step`).
+        Per step each shard exchanges a y halo and then a one-plane x
+        halo over ICI; exchanging y first means the x planes carry the y
+        halos, so corner data arrives without a diagonal ppermute. The
+        kernel then runs on the extended, locally-periodic slab and the
+        interior is kept: wrap-around garbage is confined to the halos,
+        exactly as in the 1D temporally-blocked path
+        (:meth:`shard_multi_step`).
+
+        For 3D grids the y halo is the kernel's merged-row depth
+        (8 planes f32 / 16 bf16). For 2D grids y is the MINOR axis: the
+        halo is one full 128-lane tile per side, which keeps the
+        extended minor extent lane-aligned at the cost of ~2×128/ly
+        extra traffic — the local minor extent must itself be a multiple
+        of 128 (ghost-image padding cannot apply to a sharded axis).
 
         Raises NotImplementedError when the configuration cannot use this
-        path (non-3D grid, unsupported component, non-divisible extents,
-        or no tile-aligned block split of the extended slab) — the caller
+        path (unsupported component, non-divisible extents, or no
+        tile-aligned block split of the extended slab) — the caller
         falls back to the jnp sharded step.
         """
         from ..ops.boundary import combined_equilibrium_field
-        from ..ops.pallas.stream_collide import (fused_stream_collide,
+        from ..ops.pallas.stream_collide import (LANES,
+                                                 fused_stream_collide,
                                                  gate_fused_params,
                                                  plan_blocks)
         from ._shard_map_compat import shard_map
 
         flow = simulation.flow
         d = flow.stencil.d
-        if self.grid_axes != (0, 1) or d != 3:
+        if self.grid_axes != (0, 1) or d not in (2, 3):
             raise NotImplementedError
         params = gate_fused_params(simulation)
         params.pop("feq_field", None)
@@ -559,27 +578,40 @@ class DomainDecomposition:
             raise NotImplementedError
 
         n_sx, n_sy = self.mesh_shape
-        nx, ny, nz = flow.resolution
+        nx, ny = flow.resolution[0], flow.resolution[1]
         if nx % n_sx or ny % n_sy:
             raise NotImplementedError("resolution must divide the mesh")
         lx, ly = nx // n_sx, ny // n_sy
         dtype = jnp.bfloat16 if dev else flow.f.dtype
-        hy = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
-        if ly <= hy or lx < 2:
-            raise NotImplementedError("shards smaller than the halo")
-        from ..ops.pallas.padding import plan_padding
-        lp = plan_padding((lx, ly, nz), flow.stencil.q, dtype,
-                          block_target=params.get("block_target", (16, 32)))
-        pad = lp if (lp is not None and lp.axes) else None
-        if pad is not None:
-            if any(a != 2 for (a, *_r) in pad.axes):
+        pad = None
+        if d == 3:
+            nz = flow.resolution[2]
+            hy = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+            if ly <= hy or lx < 2:
+                raise NotImplementedError("shards smaller than the halo")
+            from ..ops.pallas.padding import plan_padding
+            lp = plan_padding((lx, ly, nz), flow.stencil.q, dtype,
+                              block_target=params.get("block_target",
+                                                      (16, 32)))
+            pad = lp if (lp is not None and lp.axes) else None
+            if pad is not None:
+                if any(a != 2 for (a, *_r) in pad.axes):
+                    raise NotImplementedError(
+                        "ghost-image padding on a sharded axis")
+                params["minor_image"] = pad.minor_image
+            if lp is not None and lp.yhalo_rows is not None:
+                params["yhalo_rows"] = lp.yhalo_rows
+            nz_p = lp.padded[2] if lp is not None else nz
+            ext_shape = (lx + 2, ly + 2 * hy, nz_p)
+        else:
+            # 2D grid: y is the minor axis; a one-tile (128-lane) halo
+            # per side keeps the extended minor extent lane-aligned
+            hy = LANES
+            if ly % LANES or lx < 2:
                 raise NotImplementedError(
-                    "ghost-image padding on a sharded axis")
-            params["minor_image"] = pad.minor_image
-        if lp is not None and lp.yhalo_rows is not None:
-            params["yhalo_rows"] = lp.yhalo_rows
-        nz_p = lp.padded[2] if lp is not None else nz
-        ext_shape = (lx + 2, ly + 2 * hy, nz_p)
+                    "2D-mesh 2D grids need the local minor extent to be "
+                    "a multiple of 128 (a sharded axis cannot be padded)")
+            ext_shape = (lx + 2, ly + 2 * hy)
         plan_blocks(ext_shape, flow.stencil.q, dtype,
                     yhalo_rows=params.get("yhalo_rows"),
                     block_target=params.get("block_target", (16, 32)))
@@ -695,9 +727,9 @@ class DomainDecomposition:
             flow, boundaries, ncm)
         has_feq = feq_field is not None
 
-        # try the fused-kernel path on a 2D (x, y) mesh for 3D grids
+        # try the fused-kernel path on a 2D (x, y) mesh (2D and 3D grids)
         if (simulation.context.use_native and self.grid_axes == (0, 1)
-                and flow.stencil.d == 3):
+                and flow.stencil.d in (2, 3)):
             try:
                 return self._try_2dmesh_native_step(simulation, dev=dev)
             except NotImplementedError:

@@ -59,3 +59,21 @@ def test_cli_device_pinning():
                                   "-r", "16", "-s", "2"])
     assert result.exit_code == 2
     assert "out of range" in result.output
+
+
+def test_cli_benchmark_mesh():
+    """--mesh shards the benchmark grid over a device mesh (8 virtual
+    CPU devices from conftest); too-large meshes are rejected."""
+    runner = CliRunner()
+    result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "16",
+                                  "-s", "2", "--mesh", "8"])
+    assert result.exit_code == 0, result.output
+    assert "MLUPS" in result.output
+
+    result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "16",
+                                  "-s", "2", "--mesh", "4,2"])
+    assert result.exit_code == 0, result.output
+
+    result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "16",
+                                  "-s", "2", "--mesh", "64"])
+    assert result.exit_code == 2

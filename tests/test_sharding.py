@@ -864,3 +864,112 @@ def test_sharded_2dmesh_temporal_blocking_padded(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(flow_sh.f),
                                np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_2dgrid_native():
+    """2D grids on a 2D (x, y) device mesh ride the fused kernel via the
+    extended-slab trick: y (the minor axis) exchanges a one-tile 128-lane
+    halo per side, keeping the extended minor extent lane-aligned."""
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [16, 512], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(5)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas"
+    sim_sh(5)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_2dgrid_boundaries():
+    """2D-mesh 2D-grid kernel with mask-coded walls crossing both shard
+    cuts (the extended static mask windows carry the halos)."""
+    from tests.conftest import TestFlow
+    mask = np.zeros((16, 512), dtype=bool)
+    mask[0, :] = True     # wall crossing every y shard
+    mask[:, 0] = True     # wall crossing every x shard
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return TestFlow(ctx, resolution=[16, 512], stencil=lt.D2Q9(),
+                        boundaries=[lt.BounceBackBoundary(mask)])
+
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(0.8), [])
+    sim_ref(5)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(0.8), [],
+                           decomposition=decomp)
+    assert sim_sh._step.step_path == "pallas"
+    sim_sh(5)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_2dgrid_temporal_blocking(monkeypatch):
+    """Temporal blocking for 2D grids on a 2D mesh: n_sub x planes and
+    the 128-lane y halo exchanged once per n_sub steps."""
+    monkeypatch.setenv("LETTUCE_NSUB", "2")
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float64, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [32, 512], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+
+    flow_sh = make(True)
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim_sh._step_multi is not None and sim_sh._step_multi[1] == 2
+    sim_sh(6)  # 3 blocked launches
+
+    monkeypatch.delenv("LETTUCE_NSUB")
+    flow_ref = make(False)
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [])
+    sim_ref(6)
+
+    np.testing.assert_allclose(np.asarray(flow_sh.f),
+                               np.asarray(flow_ref.f), rtol=0, atol=1e-13)
+
+
+def test_sharded_2dmesh_2dgrid_half_storage():
+    """bf16 deviation storage on the 2D-mesh 2D-grid kernel path."""
+    def make():
+        ctx = lt.Context(dtype=jnp.float32, use_native=True)
+        return lt.TaylorGreenVortex(ctx, [16, 512], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+
+    flow_ref = make()
+    sim_ref = lt.Simulation(flow_ref, lt.BGKCollision(
+        flow_ref.units.relaxation_parameter_lu), [], half_storage=True)
+    assert sim_ref._step_dev is not None
+    sim_ref(6)
+
+    flow_sh = make()
+    decomp = lt.DomainDecomposition(mesh_shape=(2, 4))
+    sim_sh = lt.Simulation(flow_sh, lt.BGKCollision(
+        flow_sh.units.relaxation_parameter_lu), [], decomposition=decomp,
+        half_storage=True)
+    assert sim_sh._step_dev is not None
+    sim_sh(6)
+
+    a, b = np.asarray(flow_sh.f), np.asarray(flow_ref.f)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a.sum(), 16 * 512, rtol=1e-4)
