@@ -111,6 +111,9 @@ def main():
                           acceleration=flow.units.convert_acceleration_to_lu(
                               flow.acceleration)))),
         ("obstacle2d_2048", _make_obstacle_config, bgk),
+        ("mixing2d_2048", lambda ctx: lt.MixingLayer(
+            ctx, 2048 // scale, 30000, 0.05, stencil=lt.D2Q9(),
+            randseed=0, initialize_fneq=False), bgk),
         ("kbc3d_128_d3q27", lambda ctx: lt.TaylorGreenVortex(
             ctx, 128 // max(1, scale // 2), 1600, 0.05,
             stencil=lt.D3Q27(), initialize_fneq=False),

@@ -800,12 +800,10 @@ class DomainDecomposition:
             raise NotImplementedError(
                 "deviation storage requires the fused kernel path")
 
-        def local_step(f, ncm_in, nsm_in, feq_in):
+        def jnp_local(f, ncm_in, nsm_in, feq_in):
             ncm_l = ncm_in if has_ncm else None
             nsm_l = nsm_in if has_nsm else None
             feq_l = feq_in if has_feq else None
-            if native_step is not None:
-                return native_step(f, ncm_l, nsm_l, feq_l)
             # collide (pointwise -> valid on local shards)
             if ncm_l is None:
                 f_post = collision(flow.view(f))
@@ -823,33 +821,89 @@ class DomainDecomposition:
             return sharded_stream(f_post, flow.stencil.e, sharded_axes,
                                   nsm_l)
 
+        def native_local(f, ncm_in, nsm_in, feq_in):
+            return native_step(f,
+                               ncm_in if has_ncm else None,
+                               nsm_in if has_nsm else None,
+                               feq_in if has_feq else None)
+
         in_specs = (fspec,
                     self.grid_spec(d) if has_ncm else P(),
                     fspec if has_nsm else P(),
                     fspec if has_feq else P())
-        mapped = shard_map(local_step, mesh=self.mesh,
-                           in_specs=in_specs, out_specs=fspec)
 
-        # with ghost-image padding the kernel step sees padded operands:
-        # static fields get full image semantics (ghost nodes compute
-        # their sources' physics), all on UNsharded axes only
-        ncm_s, nsm_s, feq_s = ncm, nsm, feq_field
-        if pad is not None:
-            if has_ncm:
-                ncm_s = jnp.asarray(pad.pad_static(ncm, lead=0))
-            if has_nsm:
-                nsm_s = jnp.asarray(pad.pad_static(nsm, lead=1))
-            if has_feq:
-                feq_s = jnp.asarray(pad.pad_static(feq_field, lead=1))
-        ncm_arg = self.shard_grid_array(ncm_s) if has_ncm \
-            else jnp.zeros((), dtype=jnp.uint8)
-        nsm_arg = self.shard_f(nsm_s) if has_nsm \
-            else jnp.zeros((), dtype=bool)
-        feq_arg = self.shard_f(feq_s) if has_feq \
-            else jnp.zeros((), dtype=flow.f.dtype)
+        def make_args(padded: bool):
+            ncm_s, nsm_s, feq_s = ncm, nsm, feq_field
+            if padded:
+                # the kernel step sees padded operands: static fields get
+                # full image semantics (ghost nodes compute their
+                # sources' physics), all on UNsharded axes only
+                if has_ncm:
+                    ncm_s = jnp.asarray(pad.pad_static(ncm, lead=0))
+                if has_nsm:
+                    nsm_s = jnp.asarray(pad.pad_static(nsm, lead=1))
+                if has_feq:
+                    feq_s = jnp.asarray(pad.pad_static(feq_field, lead=1))
+            return (self.shard_grid_array(ncm_s) if has_ncm
+                    else jnp.zeros((), dtype=jnp.uint8),
+                    self.shard_f(nsm_s) if has_nsm
+                    else jnp.zeros((), dtype=bool),
+                    self.shard_f(feq_s) if has_feq
+                    else jnp.zeros((), dtype=flow.f.dtype))
 
-        def step(f):
-            return mapped(f, ncm_arg, nsm_arg, feq_arg)
+        if native_step is not None:
+            mapped = shard_map(native_local, mesh=self.mesh,
+                               in_specs=in_specs, out_specs=fspec)
+            args = make_args(pad is not None)
+
+            def step_raw(f):
+                return mapped(f, *args)
+
+            if dev:
+                step = step_raw  # throughput mode: full-precision grads
+                                 # go through the non-dev step
+            else:
+                # reverse-mode differentiability: pallas_call has no
+                # autodiff rule, so pull the cotangent through the
+                # mathematically identical sharded jnp step (padded twin
+                # when ghost-image padding is engaged), mirroring the
+                # single-device build_fused_step
+                mapped_jnp = shard_map(jnp_local, mesh=self.mesh,
+                                       in_specs=in_specs, out_specs=fspec)
+                args_jnp = args if pad is None else make_args(False)
+
+                def jnp_twin(f):
+                    return mapped_jnp(f, *args_jnp)
+
+                if pad is not None:
+                    enc_p, dec_p = self._pad_codec(pad, d)
+                    twin_true = jnp_twin
+
+                    def jnp_twin(fp):  # noqa: F811 — padded twin
+                        return enc_p(twin_true(dec_p(fp)))
+
+                @jax.custom_vjp
+                def vstep(f):
+                    return step_raw(f)
+
+                def vstep_fwd(f):
+                    return step_raw(f), f
+
+                def vstep_bwd(f, ct):
+                    _, vjp = jax.vjp(jnp_twin, f)
+                    return vjp(ct)
+
+                vstep.defvjp(vstep_fwd, vstep_bwd)
+
+                def step(f):
+                    return vstep(f)
+        else:
+            mapped = shard_map(jnp_local, mesh=self.mesh,
+                               in_specs=in_specs, out_specs=fspec)
+            args = make_args(False)
+
+            def step(f):
+                return mapped(f, *args)
 
         # segment-level pad/unpad codec (shard_mapped so the gather stays
         # per-shard): Simulation pads once per compiled segment
