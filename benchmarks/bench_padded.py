@@ -28,7 +28,7 @@ def run_case(label, res, steps):
     sim = lt.Simulation(flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
     sim(steps // 10)  # warm up / compile
     mlups = sim(steps)
-    print(f"{label:34s} {str(res):18s} path={sim._step_kind:7s} {mlups:9.1f} MLUPS")
+    print(f"{label:34s} {str(res):18s} path={sim.step_path:10s} {mlups:9.1f} MLUPS")
     return mlups
 
 

@@ -38,13 +38,11 @@ def bench_config(name, make_flow, collision_factory, steps, use_native,
     warm = max(40, steps // 10)
     simulation(warm)
     mlups = simulation(steps)
-    span = (simulation._step_dev_multi or simulation._step_multi
-            or (None, 1))[1]
     return {
         "name": name,
         "resolution": list(flow.resolution),
         "stencil": type(flow.stencil).__name__,
-        "path": f"{simulation._step_kind} x{span}",
+        "path": simulation.step_path,
         "steps": steps,
         "mlups": round(mlups, 1),
     }
@@ -114,6 +112,8 @@ def main():
         ("mixing2d_2048", lambda ctx: lt.MixingLayer(
             ctx, 2048 // scale, 30000, 0.05, stencil=lt.D2Q9(),
             randseed=0, initialize_fneq=False), bgk),
+        ("cavity2d_2048", lambda ctx: lt.Cavity2D(
+            ctx, 2048 // scale, 1000, 0.05), bgk),
         ("kbc3d_128_d3q27", lambda ctx: lt.TaylorGreenVortex(
             ctx, 128 // max(1, scale // 2), 1600, 0.05,
             stencil=lt.D3Q27(), initialize_fneq=False),

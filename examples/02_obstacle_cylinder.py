@@ -47,6 +47,6 @@ simulation = lt.Simulation(flow, collision,
                                            filename_base="./data/cylinder"),
                             lt.NaNGuard(flow, interval=500)])
 mlups = simulation(num_steps=2000)
-print(f"Performance: {mlups:.1f} MLUPS ({simulation._step_kind} path)")
+print(f"Performance: {mlups:.1f} MLUPS ({simulation.step_path} path)")
 u = np.asarray(flow.u_pu)
 print("max |u|:", float(np.abs(u).max()))

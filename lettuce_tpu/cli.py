@@ -147,7 +147,7 @@ def benchmark(context, steps, resolution, flow_name, vtk_out, half_storage,
         click.echo(f"profile written to {profile_out}")
 
     click.echo(f"Finished {steps} steps in {context.dtype.name} "
-               f"on {context.platform} ({simulation._step_kind} path). "
+               f"on {context.platform} ({simulation.step_path} path). "
                f"MLUPS: {mlups:10.2f}")
     return mlups
 

@@ -337,6 +337,18 @@ class Simulation:
     def units(self):
         return self.flow.units
 
+    @property
+    def step_path(self) -> str:
+        """Human-readable description of the selected step path, e.g.
+        ``'pallas x4'`` (fused kernel, temporal blocking depth 4),
+        ``'sharded(pallas+hybrid) x1'`` (fused kernel per shard with the
+        outlet window fix-up), or ``'jnp x1'`` (XLA fallback)."""
+        kind = self._step_kind
+        if kind == "sharded":
+            kind = f"sharded({getattr(self._step, 'step_path', 'jnp')})"
+        span = (self._step_dev_multi or self._step_multi or (None, 1))[1]
+        return f"{kind} x{span}"
+
     def _report(self):
         for reporter in self.reporter:
             reporter(self)

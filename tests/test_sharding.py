@@ -1030,3 +1030,19 @@ def test_sharded_native_step_differentiable_padded():
     assert np.all(np.isfinite(grads[True]))
     assert float(np.abs(grads[True]).max()) > 0
     np.testing.assert_allclose(grads[True], grads[False], atol=1e-5)
+
+
+def test_step_path_introspection():
+    """The public Simulation.step_path property reports the selected
+    path (kernel kind, sharding, temporal-blocking depth)."""
+    ctx = lt.Context(dtype=jnp.float64, use_native=False)
+    flow = _tgv(ctx)
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [])
+    assert sim.step_path == "jnp x1"
+
+    flow = _tgv(ctx)
+    decomp = lt.DomainDecomposition(mesh_shape=(8,))
+    sim = lt.Simulation(flow, lt.BGKCollision(
+        flow.units.relaxation_parameter_lu), [], decomposition=decomp)
+    assert sim.step_path.startswith("sharded(")
