@@ -123,12 +123,26 @@ def benchmark(context, steps, resolution, flow_name, vtk_out, half_storage,
     decomposition = None
     if mesh:
         import jax
-        mesh_shape = tuple(int(n) for n in mesh.split(","))
+        try:
+            mesh_shape = tuple(int(n) for n in mesh.split(","))
+            if not mesh_shape or any(n < 1 for n in mesh_shape):
+                raise ValueError
+        except ValueError:
+            raise click.BadParameter(
+                f"mesh must be comma-separated positive integers "
+                f"(e.g. '8' or '4,2'), got {mesh!r}")
         n_needed = int(np.prod(mesh_shape))
         if n_needed > len(jax.devices()):
             raise click.BadParameter(
                 f"mesh {mesh_shape} needs {n_needed} devices; "
                 f"{len(jax.devices())} available")
+        for axis, n in enumerate(mesh_shape):
+            res = (flow.resolution[axis]
+                   if axis < len(flow.resolution) else None)
+            if res is None or res % n:
+                raise click.BadParameter(
+                    f"resolution {list(flow.resolution)} does not divide "
+                    f"evenly over mesh {mesh_shape}")
         decomposition = lt.DomainDecomposition(mesh_shape=mesh_shape)
 
     reporters = []

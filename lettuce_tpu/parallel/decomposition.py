@@ -361,14 +361,6 @@ class DomainDecomposition:
         except NotImplementedError:
             return None
         params.pop("feq_field", None)
-        # the global pad plan is irrelevant per shard; re-plan ghost-image
-        # padding on the LOCAL shard shape (padded axes must all be
-        # unsharded — the images are periodic along unsharded axes, so
-        # they are local in every sharded axis and ride the halo
-        # exchanges unchanged; in-slab sub-steps keep them valid for
-        # ``max_n_sub`` steps exactly as in the single-device blocked path)
-        params.pop("pad_plan", None)
-        params.pop("yhalo_rows", None)
 
         d = flow.stencil.d
         n_shards = self.mesh_shape[0]
@@ -376,27 +368,17 @@ class DomainDecomposition:
         dtype = jnp.bfloat16 if dev else flow.f.dtype
         q = flow.stencil.q
 
-        from ..ops.pallas.padding import plan_padding
         local_shape = list(flow.resolution)
         local_shape[0] = local_x
         if self.grid_axes == (0, 1):
             local_shape[1] //= self.mesh_shape[1]
         try:
-            lp = plan_padding(tuple(local_shape), q, dtype,
-                              block_target=params.get("block_target",
-                                                      (16, 32)))
+            pad = self._plan_local_padding(local_shape, q, dtype, params,
+                                           max_n_sub=n_sub)
         except NotImplementedError:
             return None
-        pad = lp if (lp is not None and lp.axes) else None
-        if pad is not None:
-            if any(a in set(self.grid_axes) for (a, *_r) in pad.axes):
-                return None  # cannot pad a sharded axis
-            if n_sub > pad.max_n_sub:
-                return None  # images go stale within one launch
-            params["minor_image"] = pad.minor_image
-        if lp is not None and lp.yhalo_rows is not None:
-            params["yhalo_rows"] = lp.yhalo_rows
-        padded_local = lp.padded if lp is not None else tuple(local_shape)
+        padded_local = (pad.padded if pad is not None
+                        else tuple(local_shape))
 
         if self.grid_axes == (0, 1) and d == 3:
             # 2D mesh: y halo deep enough for the blocked sweep's reach
@@ -566,11 +548,6 @@ class DomainDecomposition:
             raise NotImplementedError
         params = gate_fused_params(simulation)
         params.pop("feq_field", None)
-        # re-plan ghost-image padding on the LOCAL shard shape; only the
-        # minor (z) axis may pad — x and y are both sharded here, and
-        # images must live on unsharded axes to stay shard-local
-        params.pop("pad_plan", None)
-        params.pop("yhalo_rows", None)
         if (dev and params["collision_spec"][0] == "mrt"
                 and params["collision_spec"][4] != "from_feq"):
             # analytic-moment MRT is not shift-invariant (stream_collide's
@@ -589,23 +566,18 @@ class DomainDecomposition:
             hy = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
             if ly <= hy or lx < 2:
                 raise NotImplementedError("shards smaller than the halo")
-            from ..ops.pallas.padding import plan_padding
-            lp = plan_padding((lx, ly, nz), flow.stencil.q, dtype,
-                              block_target=params.get("block_target",
-                                                      (16, 32)))
-            pad = lp if (lp is not None and lp.axes) else None
-            if pad is not None:
-                if any(a != 2 for (a, *_r) in pad.axes):
-                    raise NotImplementedError(
-                        "ghost-image padding on a sharded axis")
-                params["minor_image"] = pad.minor_image
-            if lp is not None and lp.yhalo_rows is not None:
-                params["yhalo_rows"] = lp.yhalo_rows
-            nz_p = lp.padded[2] if lp is not None else nz
+            # only the minor (z) axis may pad — x and y are both sharded
+            pad = self._plan_local_padding((lx, ly, nz), flow.stencil.q,
+                                           dtype, params)
+            nz_p = pad.padded[2] if pad is not None else nz
             ext_shape = (lx + 2, ly + 2 * hy, nz_p)
         else:
             # 2D grid: y is the minor axis; a one-tile (128-lane) halo
-            # per side keeps the extended minor extent lane-aligned
+            # per side keeps the extended minor extent lane-aligned. Both
+            # axes are sharded, so no ghost-image padding can apply —
+            # drop the (global, per-shard-irrelevant) plan from params.
+            params.pop("pad_plan", None)
+            params.pop("yhalo_rows", None)
             hy = LANES
             if ly % LANES or lx < 2:
                 raise NotImplementedError(
@@ -748,10 +720,6 @@ class DomainDecomposition:
                 # the combined feq field is a shard_map operand, sliced per
                 # shard — not a baked-in global constant
                 params.pop("feq_field", None)
-                # the global pad plan is irrelevant per shard — padding is
-                # re-planned below on the LOCAL shard shape
-                params.pop("pad_plan", None)
-                params.pop("yhalo_rows", None)
                 if (dev and params["collision_spec"][0] == "mrt"
                         and params["collision_spec"][4] != "from_feq"):
                     raise NotImplementedError
@@ -761,28 +729,30 @@ class DomainDecomposition:
                 # any UNsharded axis commutes with the sharded step (its
                 # periodic images are local in the sharded axis); padding
                 # the sharded axis itself does not.
-                from ..ops.pallas.padding import plan_padding
                 sa = self.grid_axes[0]
                 local_shape = list(flow.resolution)
                 local_shape[sa] //= self.mesh_shape[0]
                 ldtype = jnp.bfloat16 if dev else flow.f.dtype
-                bt = params.get("block_target", (16, 32))
-                lp = plan_padding(tuple(local_shape), flow.stencil.q,
-                                  ldtype, block_target=bt)
-                pad = lp if (lp is not None and lp.axes) else None
-                if pad is not None and any(
-                        a == sa for (a, *_r) in pad.axes):
-                    raise NotImplementedError(
-                        "ghost-image padding on the sharded axis")
-                if lp is not None and lp.yhalo_rows is not None:
-                    params["yhalo_rows"] = lp.yhalo_rows
-                if pad is not None:
-                    params["minor_image"] = pad.minor_image
+                pad = self._plan_local_padding(local_shape, flow.stencil.q,
+                                               ldtype, params)
                 fixup = None
                 if hybrid:
                     if dev:
                         raise NotImplementedError(
                             "hybrid outlet fix-up operates on f")
+                    if pad is not None:
+                        # the edge-plane fix collides boundaries on the
+                        # PADDED slab; an outlet carrying face-extent
+                        # fields (window_view marks them, e.g.
+                        # SpongeOutlet's per-plane sigma) cannot
+                        # broadcast against a padded face axis
+                        padded_axes = {a for (a, *_r) in pad.axes}
+                        for _idx, outlet in hybrid:
+                            if (outlet.face_axis in padded_axes
+                                    and hasattr(outlet, "window_view")):
+                                raise NotImplementedError(
+                                    "face-extent outlet fields on a "
+                                    "padded face axis")
                     from ..ops.pallas.hybrid_outlets import (
                         build_hybrid_fixup_sharded)
                     fixup = build_hybrid_fixup_sharded(
@@ -870,10 +840,15 @@ class DomainDecomposition:
                 # single-device build_fused_step
                 mapped_jnp = shard_map(jnp_local, mesh=self.mesh,
                                        in_specs=in_specs, out_specs=fspec)
-                args_jnp = args if pad is None else make_args(False)
+                # the twin's unpadded operands (f-sized nsm/feq copies)
+                # materialize lazily, on the first backward trace —
+                # forward-only runs never pay the duplicate HBM
+                args_jnp_cache = [args] if pad is None else []
 
                 def jnp_twin(f):
-                    return mapped_jnp(f, *args_jnp)
+                    if not args_jnp_cache:
+                        args_jnp_cache.append(make_args(False))
+                    return mapped_jnp(f, *args_jnp_cache[0])
 
                 if pad is not None:
                     enc_p, dec_p = self._pad_codec(pad, d)
@@ -918,6 +893,39 @@ class DomainDecomposition:
         else:
             step.step_path = "pallas"
         return step
+
+    def _plan_local_padding(self, local_shape, q: int, dtype, params: dict,
+                            max_n_sub: Optional[int] = None):
+        """Plan ghost-image padding for a per-shard kernel launch.
+
+        Pops the (global, per-shard-irrelevant) ``pad_plan``/``yhalo_rows``
+        from ``params``, re-plans on the LOCAL shard shape, rejects plans
+        that would pad a sharded axis (images must be shard-local, i.e.
+        periodic along unsharded axes only) or outlive the in-slab image
+        depth (``max_n_sub``), and forwards ``yhalo_rows``/``minor_image``
+        into ``params``. Returns the :class:`PadPlan` (or None when the
+        local shape needs no padded axes); raises ``NotImplementedError``
+        when the configuration cannot run padded — single source shared by
+        the 1D, blocked, and 2D-mesh builders.
+        """
+        from ..ops.pallas.padding import plan_padding
+
+        params.pop("pad_plan", None)
+        params.pop("yhalo_rows", None)
+        lp = plan_padding(tuple(local_shape), q, dtype,
+                          block_target=params.get("block_target", (16, 32)))
+        pad = lp if (lp is not None and lp.axes) else None
+        if pad is not None:
+            if any(a in set(self.grid_axes) for (a, *_r) in pad.axes):
+                raise NotImplementedError(
+                    "ghost-image padding on a sharded axis")
+            if max_n_sub is not None and max_n_sub > pad.max_n_sub:
+                raise NotImplementedError(
+                    "ghost images go stale within one blocked launch")
+            params["minor_image"] = pad.minor_image
+        if lp is not None and lp.yhalo_rows is not None:
+            params["yhalo_rows"] = lp.yhalo_rows
+        return pad
 
     def _pad_codec(self, pad, d: int):
         """shard_mapped (pad, unpad) closures over a local ``PadPlan``

@@ -346,7 +346,12 @@ class Simulation:
         kind = self._step_kind
         if kind == "sharded":
             kind = f"sharded({getattr(self._step, 'step_path', 'jnp')})"
-        span = (self._step_dev_multi or self._step_multi or (None, 1))[1]
+        # the span of the path that actually runs: with deviation storage
+        # active, a failed bf16 multi-step build means single-stepping —
+        # the f32 _step_multi is not used
+        multi = (self._step_dev_multi if self._step_dev is not None
+                 else self._step_multi)
+        span = (multi or (None, 1))[1]
         return f"{kind} x{span}"
 
     def _report(self):

@@ -77,3 +77,12 @@ def test_cli_benchmark_mesh():
     result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "16",
                                   "-s", "2", "--mesh", "64"])
     assert result.exit_code == 2
+
+    # malformed mesh strings and non-dividing resolutions are clear
+    # usage errors, not tracebacks
+    result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "16",
+                                  "-s", "2", "--mesh", "4x2"])
+    assert result.exit_code == 2
+    result = runner.invoke(main, ["--no-tpu", "benchmark", "-r", "18",
+                                  "-s", "2", "--mesh", "4"])
+    assert result.exit_code == 2

@@ -1046,3 +1046,21 @@ def test_step_path_introspection():
     sim = lt.Simulation(flow, lt.BGKCollision(
         flow.units.relaxation_parameter_lu), [], decomposition=decomp)
     assert sim.step_path.startswith("sharded(")
+
+
+def test_sharded_sponge_outlet_padded_face_axis_falls_back():
+    """A SpongeOutlet whose face axis is a PADDED axis cannot ride the
+    padded sharded kernel (its per-plane sigma field has the true face
+    extent and cannot broadcast on the padded edge-plane slab) — the
+    build must fall back to the jnp sharded path instead of crashing at
+    trace time."""
+    from tests.conftest import TestFlow
+    ctx = lt.Context(dtype=jnp.float32, use_native=True)
+    flow = TestFlow(ctx, resolution=[64, 16, 96], stencil=lt.D3Q19())
+    flow._boundaries = [lt.SpongeOutlet([0, 0, 1], flow, depth=4)]
+    decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+    sim = lt.Simulation(flow, lt.BGKCollision(0.8), [],
+                        decomposition=decomp)
+    assert sim._step.step_path == "jnp"
+    sim(1)
+    assert np.all(np.isfinite(np.asarray(flow.f)))
