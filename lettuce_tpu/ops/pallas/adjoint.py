@@ -1,0 +1,433 @@
+"""Adjoint (reverse-mode) fused kernel: the backward pass at kernel speed.
+
+``build_fused_step`` wraps the forward Pallas kernel in a ``custom_vjp``;
+without this module the backward rule replays the jnp step under
+``jax.vjp`` — mathematically exact but ~10x slower than the forward kernel
+(the jnp path materialises intermediates between the per-q rolls and the
+collision jacobian). Training a learned collision or an adjoint-based
+inverse design (examples 06/09) then spends almost all its time in the
+backward pass.
+
+This kernel computes the exact vector-Jacobian product of one fused
+collide-and-stream step in ONE memory-bound pass. The key observation is
+that the adjoint of an LBM step is itself an LBM-shaped operation, mirror
+imaged:
+
+* forward:  pull-stream(+e) after a per-node collision;
+* adjoint:  pull-stream(-e) of the cotangent FIRST (``h_i(y) =
+  g_i(y + e_i)``), then the transposed collision jacobian, which for BGK
+  reduces to weighted moments of h:
+
+      (J^T h)_j = (1 - 1/tau) h_j + 1/tau * (A' + e_j . B)
+
+  with A' and B built from the moments S0 = sum w_i h_i,
+  S1_a = sum w_i e_ia h_i, S2_ab = sum w_i e_ia e_ib h_i and the
+  pre-collision velocity u — the same add/sub-tree shape as the forward
+  equilibrium. (Derivation: feq_i = rho * phi_i(u),
+  dfeq_i/df_j = phi_i + sum_a dphi_i/du_a (e_ja - u_a); contracting with
+  h gives A = sum phi_i h_i, B_a = sum (dphi_i/du_a) h_i,
+  A' = A - u . B. Sanity identities: h = 1 -> J^T h = 1 (mass
+  conservation transposed), h_i = e_ib -> (J^T h)_j = e_jb.)
+
+Boundary nodes transpose trivially: bounce-back (``f'_j = f_opp(j)``) has
+adjoint ``ct_j = h_opp(j)``; equilibrium in/outflow replacements are
+constant in f, so their adjoint is zero; frozen populations
+(``no_streaming_mask``) re-route the cotangent as a static pre-shifted
+mask pair. Everything the forward kernel's mask pipeline supports
+(reference ``_simulation.py:177-189``) is covered except the hybrid
+outlet fix-up and ghost-image padding, which fall back to the jnp vjp.
+
+Memory traffic is 3q fields (read g with halos, read f, write ct) vs the
+forward's 2q — the backward runs at ~2/3 forward kernel speed instead of
+~1/15th of it. The reference has no analog: its autograd replays torch
+ops (``README.rst:27`` advertises differentiability; all grads run at
+eager-torch speed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stream_collide import (LANES, _halo_specs, _moments, _roll_minor,
+                             _store_parts, _RollMasks, plan_blocks)
+
+__all__ = ["fused_adjoint", "build_adjoint_step"]
+
+
+def _pairs_of(e: np.ndarray, opposite: np.ndarray):
+    """[(qp, qm)] unordered opposite pairs + the rest direction (e == 0)."""
+    q = e.shape[0]
+    pairs = []
+    rest = None
+    seen = set()
+    for qi in range(q):
+        if qi in seen:
+            continue
+        qo = int(opposite[qi])
+        seen.update((qi, qo))
+        if qo == qi:
+            rest = qi
+        else:
+            pairs.append((qi, qo))
+    return pairs, rest
+
+
+def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
+                    opposite: np.ndarray, cs: float,
+                    tau_inv: Optional[float], bx: int, by: Optional[int],
+                    S: int, has_ncm: bool, has_nsm: bool,
+                    boundary_kinds: Tuple[Tuple[str, int], ...],
+                    yhalo: int):
+    q = e.shape[0]
+    cs2 = cs * cs
+    is3d = by is not None
+    d = 3 if is3d else 2
+    n_parts = 9 if is3d else 3
+
+    g_parts = refs[:n_parts]
+    idx = n_parts
+    f_ref = refs[idx]
+    idx += 1
+    ncm = None
+    if has_ncm:
+        ncm = refs[idx][:]
+        idx += 1
+    nsm_c_ref = nsm_s_ref = None
+    if has_nsm:
+        nsm_c_ref = refs[idx]      # nsm_i(y): pull from self
+        nsm_s_ref = refs[idx + 1]  # nsm_i(y + e_i): destination frozen
+        idx += 2
+    out_ref = refs[idx]
+    idx += 1
+    gslab = refs[idx]
+
+    _store_parts(g_parts, gslab, is3d, bx, by * S if is3d else None,
+                 yhalo=yhalo)
+
+    compute_dtype = (jnp.float32 if jnp.dtype(gslab.dtype).itemsize == 2
+                     else gslab.dtype)
+
+    def read_f(qi):
+        fi = f_ref[qi]
+        if fi.dtype != compute_dtype:
+            fi = fi.astype(compute_dtype)
+        return fi
+
+    # pre-collision macroscopics at the centre block (jacobian inputs)
+    rho, u, u2 = _moments(read_f, q, e, d, dev_storage=False)
+
+    if is3d:
+        bys = by * S
+        interior = (slice(1, 1 + bx), slice(yhalo, yhalo + bys))
+        slab_val_shape = (bx + 2, yhalo + bys + yhalo, LANES)
+    else:
+        bys = None
+        interior = (slice(1, 1 + bx), slice(None))
+        slab_val_shape = (bx + 2, gslab.shape[-2], LANES)
+    roll_masks = _RollMasks(slab_val_shape, S if is3d else
+                            slab_val_shape[-2])
+
+    def h_of(qi):
+        """Adjoint-streamed cotangent h_i(y) = g_i(y + e_i) — the forward
+        pull shift with e -> -e — with frozen-destination re-routing."""
+        gi = gslab[qi]
+        if gi.dtype != compute_dtype:
+            gi = gi.astype(compute_dtype)
+        ez = int(e[qi, d - 1])
+        shifted = _roll_minor(gi, -ez, S if is3d else gi.shape[-2],
+                              roll_masks)
+        ex = int(e[qi, 0])
+        if is3d:
+            ey = int(e[qi, 1])
+            shifted = shifted[1 + ex:1 + ex + bx,
+                              yhalo + ey * S:yhalo + ey * S + bys]
+        else:
+            shifted = shifted[1 + ex:1 + ex + bx, :]
+        if has_nsm:
+            # out_i(x) = fpost_i(x - e_i (1 - nsm_i(x))): the cotangent of
+            # a frozen destination flows to its own node, not upstream
+            centre = gi[interior]
+            shifted = jnp.where(nsm_s_ref[qi], 0.0, shifted) \
+                + jnp.where(nsm_c_ref[qi], centre, 0.0)
+        return shifted
+
+    keep = None if tau_inv is None else 1.0 - tau_inv
+
+    def partial_out(qi, h_i, h_opp):
+        """Everything except the fluid-node moment term: identity /
+        relaxation diagonal + transposed boundary replacements."""
+        val = h_i if keep is None else keep * h_i
+        if has_ncm:
+            # non-fluid nodes not claimed by a kind keep f_i -> adjoint h_i
+            val = jnp.where(ncm == 0, val, h_i)
+            for kind, index in boundary_kinds:
+                if kind == "bounce_back":
+                    val = jnp.where(ncm == index, h_opp, val)
+                else:  # equilibrium replacements are constant in f
+                    val = jnp.where(ncm == index, jnp.zeros_like(val), val)
+        if val.dtype != out_ref.dtype:
+            val = val.astype(out_ref.dtype)
+        out_ref[qi] = val
+
+    pairs, rest = _pairs_of(e, opposite)
+
+    if tau_inv is None:
+        # NoCollision: J = I; the adjoint is the streaming transpose only
+        for qp, qm in pairs:
+            partial_out(qp, h_of(qp), h_of(qm))
+            partial_out(qm, h_of(qm), h_of(qp))
+        if rest is not None:
+            h0 = h_of(rest)
+            partial_out(rest, h0, h0)
+        return
+
+    # ------------------------------------------------------------------
+    # weighted cotangent moments, pair-shared (e_a odd / e_a e_b even
+    # under q -> qbar): S0, S1_a ride pair sums/diffs, one w multiply
+    # per pair
+    # ------------------------------------------------------------------
+    sym_pairs = [(a, b) for a in range(d) for b in range(a, d)]
+    S0 = None
+    S1 = [None] * d
+    S2 = {p: None for p in sym_pairs}
+    for qp, qm in pairs:
+        hp, hm = h_of(qp), h_of(qm)
+        partial_out(qp, hp, hm)
+        partial_out(qm, hm, hp)
+        wq = float(w[qp])
+        ws = wq * (hp + hm)
+        wd = wq * (hp - hm)
+        S0 = ws if S0 is None else S0 + ws
+        for a in range(d):
+            ea = int(e[qp, a])
+            if ea == 0:
+                continue
+            t = wd if ea == 1 else -wd
+            S1[a] = t if S1[a] is None else S1[a] + t
+        for (a, b) in sym_pairs:
+            c = int(e[qp, a]) * int(e[qp, b])
+            if c == 0:
+                continue
+            t = ws if c == 1 else -ws
+            S2[(a, b)] = t if S2[(a, b)] is None else S2[(a, b)] + t
+    if rest is not None:
+        h0 = h_of(rest)
+        partial_out(rest, h0, h0)
+        t = float(w[rest]) * h0
+        S0 = t if S0 is None else S0 + t
+
+    # A' + e_j . B from the moments and u (see module docstring)
+    inv_cs2 = 1.0 / cs2
+
+    def s2_at(a, b):
+        return S2[(a, b) if a <= b else (b, a)]
+
+    T = []  # T_a = sum_b u_b S2_ab
+    for a in range(d):
+        acc = None
+        for b in range(d):
+            v = s2_at(a, b)
+            if v is None:
+                continue
+            t = u[b] * v
+            acc = t if acc is None else acc + t
+        T.append(acc)
+    uS1 = None
+    for a in range(d):
+        if S1[a] is None:
+            continue
+        t = u[a] * S1[a]
+        uS1 = t if uS1 is None else uS1 + t
+    uuS2 = None
+    for a in range(d):
+        if T[a] is None:
+            continue
+        t = u[a] * T[a]
+        uuS2 = t if uuS2 is None else uuS2 + t
+
+    A = S0 * (1.0 - u2 * (0.5 * inv_cs2))
+    if uS1 is not None:
+        A = A + uS1 * inv_cs2
+    if uuS2 is not None:
+        A = A + uuS2 * (0.5 * inv_cs2 * inv_cs2)
+    B = []
+    for a in range(d):
+        acc = -u[a] * S0
+        if S1[a] is not None:
+            acc = acc + S1[a]
+        if T[a] is not None:
+            acc = acc + T[a] * inv_cs2
+        B.append(acc * inv_cs2)
+    Ap = A
+    for a in range(d):
+        Ap = Ap - u[a] * B[a]
+
+    # fluid-node moment term, pair-shared: delta(+-e) = A' +- e . B
+    tAp = tau_inv * Ap
+    tB = [tau_inv * ba for ba in B]
+
+    def add_fluid(qi, delta):
+        cur = out_ref[qi]
+        if cur.dtype != compute_dtype:
+            cur = cur.astype(compute_dtype)
+        val = cur + delta if not has_ncm else \
+            jnp.where(ncm == 0, cur + delta, cur)
+        if val.dtype != out_ref.dtype:
+            val = val.astype(out_ref.dtype)
+        out_ref[qi] = val
+
+    for qp, qm in pairs:
+        eb = None
+        for a in range(d):
+            ea = int(e[qp, a])
+            if ea == 0:
+                continue
+            t = tB[a] if ea == 1 else -tB[a]
+            eb = t if eb is None else eb + t
+        add_fluid(qp, tAp + eb)
+        add_fluid(qm, tAp - eb)
+    if rest is not None:
+        add_fluid(rest, tAp)
+
+
+def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
+                  opposite: np.ndarray, cs: float,
+                  tau_inv: Optional[float],
+                  no_collision_mask: Optional[jax.Array] = None,
+                  no_streaming_mask: Optional[np.ndarray] = None,
+                  boundary_kinds: Tuple[Tuple[str, int], ...] = (),
+                  block_target: Tuple[int, int] = (16, 32),
+                  block_target_2d: int = 128,
+                  vmem_limit_mb: Optional[int] = None,
+                  yhalo_rows: Optional[int] = None,
+                  interpret: bool = False) -> jax.Array:
+    """Exact VJP of one fused collide-and-stream step.
+
+    ``f`` is the step *input* (the residual saved by the forward pass),
+    ``g`` the cotangent of the step output; returns the cotangent of
+    ``f``. ``tau_inv = None`` means NoCollision. ``no_streaming_mask``
+    must be a static (numpy) array — its adjoint re-routing masks are
+    pre-shifted at trace time.
+    """
+    q = e.shape[0]
+    shape = f.shape[1:]
+    d = len(shape)
+    bx, by, yhalo, S = plan_blocks(shape, q, g.dtype,
+                                   block_target=block_target,
+                                   block_target_2d=block_target_2d,
+                                   yhalo_rows=yhalo_rows)
+
+    if d == 2:
+        YS = S
+        bys = None
+        grid = (shape[0] // bx,)
+        merged_shape = (q, shape[0], S, LANES)
+        out_block = (q, bx, S, LANES)
+        out_index = lambda i: (0, i, 0, 0)
+        mask_index = lambda i: (i, 0, 0)
+    else:
+        YS = shape[1] * S
+        bys = by * S
+        grid = (shape[0] // bx, shape[1] // by)
+        merged_shape = (q, shape[0], YS, LANES)
+        out_block = (q, bx, bys, LANES)
+        out_index = lambda i, j: (0, i, j, 0)
+        mask_index = lambda i, j: (i, j, 0)
+
+    has_ncm = no_collision_mask is not None
+    has_nsm = no_streaming_mask is not None
+
+    g_specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q, yhalo=yhalo)
+    in_specs = list(g_specs)
+    inputs = [g.reshape(merged_shape)] * len(g_specs)
+
+    centre_spec = pl.BlockSpec(out_block, out_index,
+                               memory_space=pltpu.VMEM)
+    in_specs.append(centre_spec)
+    inputs.append(f.reshape(merged_shape))
+    if has_ncm:
+        in_specs.append(pl.BlockSpec(out_block[1:], mask_index,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(no_collision_mask.astype(jnp.int32).reshape(
+            merged_shape[1:]))
+    if has_nsm:
+        nsm = np.asarray(no_streaming_mask)
+        # static pre-shifts: nsm_i(y + e_i) per q (adjoint of the
+        # destination-frozen select)
+        nsm_shift = np.stack([
+            np.roll(nsm[qi], tuple(-int(s) for s in e[qi]),
+                    axis=tuple(range(d)))
+            for qi in range(q)])
+        for m in (nsm, nsm_shift):
+            in_specs.append(centre_spec)
+            inputs.append(jnp.asarray(m).reshape(merged_shape))
+
+    kernel = partial(
+        _adjoint_kernel,
+        e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
+        bx=bx, by=by, S=S, has_ncm=has_ncm, has_nsm=has_nsm,
+        boundary_kinds=tuple(boundary_kinds), yhalo=yhalo)
+
+    compiler_params = None
+    if vmem_limit_mb is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+
+    slab_rows = YS if d == 2 else bys + 2 * yhalo
+    scratch = [pltpu.VMEM((q, bx + 2, slab_rows, LANES), g.dtype)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(out_block, out_index,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(merged_shape, g.dtype),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(f.shape)
+
+
+def build_adjoint_step(simulation, params, ncm, nsm):
+    """Closure ``adj(f, ct) -> ct_f`` for ``build_fused_step``'s backward
+    rule, or raise NotImplementedError when this configuration must fall
+    back to the jnp vjp (non-BGK collisions, hybrid outlets and padding
+    are excluded by the caller)."""
+    spec = params["collision_spec"]
+    if spec[0] == "bgk":
+        tau_inv = spec[1]
+    elif spec[0] == "none":
+        tau_inv = None
+    else:
+        raise NotImplementedError(
+            f"adjoint kernel has no {spec[0]} jacobian fragment")
+    nsm_np = None
+    if nsm is not None:
+        nsm_np = np.asarray(nsm)
+
+    kw = dict(e=params["e"], w=params["w"], opposite=params["opposite"],
+              cs=params["cs"], tau_inv=tau_inv,
+              boundary_kinds=params["boundary_kinds"],
+              vmem_limit_mb=params.get("vmem_limit_mb"),
+              block_target=params.get("block_target", (16, 32)),
+              yhalo_rows=params.get("yhalo_rows"),
+              interpret=params["interpret"])
+    # fail at build time, not first-backward time, if the plan is bad
+    plan_blocks(tuple(simulation.flow.resolution),
+                params["e"].shape[0], simulation.flow.f.dtype,
+                block_target=kw["block_target"],
+                yhalo_rows=kw["yhalo_rows"])
+
+    def adj(f, ct):
+        return fused_adjoint(f, ct, no_collision_mask=ncm,
+                             no_streaming_mask=nsm_np, **kw)
+    return adj

@@ -1722,6 +1722,20 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         def jnp_step(fp):  # noqa: F811
             return padding.pad_state(jnp_true(padding.unpad(fp)))
 
+    # backward rule: the adjoint kernel (exact VJP in one memory-bound
+    # pass, ~2/3 forward speed) when the configuration supports it,
+    # otherwise the jnp-path vjp (exact but ~10x slower). LETTUCE_ADJOINT=0
+    # forces the jnp vjp (A/B benchmarking).
+    import os as _os
+    adjoint = None
+    if (padding is None and not hybrid
+            and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
+        try:
+            from .adjoint import build_adjoint_step
+            adjoint = build_adjoint_step(simulation, params, ncm, nsm)
+        except NotImplementedError:
+            adjoint = None
+
     @jax.custom_vjp
     def step(f):
         return fused(f)
@@ -1729,9 +1743,13 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     def step_fwd(f):
         return fused(f), f
 
-    def step_bwd(f, ct):
-        _, vjp = jax.vjp(jnp_step, f)
-        return vjp(ct)
+    if adjoint is not None:
+        def step_bwd(f, ct):
+            return (adjoint(f, ct),)
+    else:
+        def step_bwd(f, ct):
+            _, vjp = jax.vjp(jnp_step, f)
+            return vjp(ct)
 
     step.defvjp(step_fwd, step_bwd)
 
@@ -1739,6 +1757,7 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
         return step(f)
 
     stepped.pad_codec = padding.codec() if padding is not None else None
+    stepped.adjoint_kernel = adjoint is not None
     return stepped
 
 

@@ -1,0 +1,168 @@
+"""Adjoint-kernel vs jax-autodiff equivalence.
+
+``build_fused_step`` backs its ``custom_vjp`` with a dedicated adjoint
+Pallas kernel (``ops/pallas/adjoint.py``) for BGK/NoCollision
+configurations: the exact vector-Jacobian product of one fused
+collide-and-stream step in one memory-bound pass. The oracle is
+``jax.vjp`` of the mathematically identical jnp step — the same
+native-vs-reference pattern as ``tests/test_native.py``, applied to the
+backward pass. All cases assert the adjoint kernel actually engaged
+(``step.adjoint_kernel``), so a silent fallback to the jnp vjp cannot
+masquerade as a pass.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lettuce_tpu as lt
+from tests.conftest import TestFlow
+
+
+def _ctx(dtype="float64"):
+    return lt.Context(device="cpu", dtype=dtype, use_native=True)
+
+
+def _grad_both(flow, collision, steps=3, expect_adjoint=True):
+    """Gradient of a rollout loss through the kernel step (adjoint
+    kernel backward) and through the jnp step (jax autodiff)."""
+    sim = lt.Simulation(flow, collision, [])
+    assert sim._step_kind == "pallas"
+    assert getattr(sim._step, "adjoint_kernel", None) is expect_adjoint
+    jnp_step = sim._build_jnp_step()
+    kernel_step = sim.make_step_fn()  # pad-codec-aware public step
+
+    def loss(f, step):
+        for _ in range(steps):
+            f = step(f)
+        return jnp.sum(flow.view(f).incompressible_energy())
+
+    g_kernel = jax.grad(lambda f: loss(f, kernel_step))(flow.f)
+    g_jnp = jax.grad(lambda f: loss(f, jnp_step))(flow.f)
+    return np.asarray(g_kernel), np.asarray(g_jnp)
+
+
+def _assert_close(g_kernel, g_jnp, rtol):
+    assert np.all(np.isfinite(g_kernel))
+    assert float(np.abs(g_kernel).max()) > 0
+    scale = float(np.abs(g_jnp).max())
+    np.testing.assert_allclose(g_kernel, g_jnp, atol=rtol * scale)
+
+
+def test_adjoint_bgk_periodic_2d_f64():
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_bgk_periodic_3d_f64():
+    flow = lt.TaylorGreenVortex(_ctx(), [8, 16, 128], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_bgk_periodic_2d_f32():
+    flow = lt.TaylorGreenVortex(_ctx("float32"), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-5)
+
+
+def test_adjoint_masked_walls_and_lid():
+    """Bounce-back walls + moving-lid equilibrium boundary: the transposed
+    boundary jacobians (opposite re-route / zero) select per mask code."""
+    flow = lt.Cavity2D(_ctx(), [16, 128], 100, 0.05)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_masked_3d():
+    mask = np.zeros((8, 16, 128), dtype=bool)
+    mask[:, 0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[8, 16, 128], stencil=lt.D3Q19(),
+                    boundaries=[lt.BounceBackBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.BGKCollision(0.8))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_no_streaming_mask():
+    """Frozen populations re-route the cotangent to their own node (the
+    statically pre-shifted nsm pair)."""
+    class FrozenBoundary(lt.BounceBackBoundary):
+        def make_no_streaming_mask(self, shape, context):
+            m = np.zeros(tuple(shape), dtype=bool)
+            m[:, 8, :] = True
+            return context.convert_to_tensor(m)
+
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[16, 128], stencil=lt.D2Q9(),
+                    boundaries=[FrozenBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.BGKCollision(0.8))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_per_node_equilibrium_boundary():
+    """Per-node inlet (combined feq field): constant in f, so its adjoint
+    zeroes the masked nodes."""
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+    rng = np.random.RandomState(3)
+    vel = rng.rand(2, 16, 128) * 0.05
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[16, 128], stencil=lt.D2Q9(),
+                    boundaries=[lt.EquilibriumBoundaryPU(
+                        ctx, mask, vel, 0.001)])
+    g_k, g_j = _grad_both(flow, lt.BGKCollision(0.85))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_no_collision():
+    """NoCollision: the adjoint is the pure streaming transpose."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(flow, lt.NoCollision())
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_disabled_env(monkeypatch):
+    """LETTUCE_ADJOINT=0 forces the jnp-vjp backward; gradients still
+    match (A/B benchmarking escape hatch)."""
+    monkeypatch.setenv("LETTUCE_ADJOINT", "0")
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu),
+        expect_adjoint=False)
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_falls_back_for_non_bgk():
+    """TRT has no adjoint fragment yet: the step stays differentiable via
+    the jnp vjp and the flag reports the fallback."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    tau = flow.units.relaxation_parameter_lu
+    g_k, g_j = _grad_both(flow, lt.TRTCollision(tau, tau),
+                          expect_adjoint=False)
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_padded_grid_falls_back():
+    """Ghost-image padding composes with the jnp vjp only (for now); the
+    step must stay differentiable and exact."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 100], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu),
+        expect_adjoint=False)
+    _assert_close(g_k, g_j, 1e-12)
