@@ -84,7 +84,7 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
                     tau_inv: Optional[float], bx: int, by: Optional[int],
                     S: int, has_ncm: bool, has_nsm: bool,
                     boundary_kinds: Tuple[Tuple[str, int], ...],
-                    yhalo: int):
+                    yhalo: int, residual_u: bool = False):
     q = e.shape[0]
     cs2 = cs * cs
     is3d = by is not None
@@ -93,8 +93,10 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
     g_parts = refs[:n_parts]
     idx = n_parts
-    f_ref = refs[idx]
-    idx += 1
+    f_ref = None
+    if tau_inv is not None:  # NoCollision's adjoint needs no state
+        f_ref = refs[idx]
+        idx += 1
     ncm = None
     if has_ncm:
         ncm = refs[idx][:]
@@ -120,8 +122,18 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
             fi = fi.astype(compute_dtype)
         return fi
 
-    # pre-collision macroscopics at the centre block (jacobian inputs)
-    rho, u, u2 = _moments(read_f, q, e, d, dev_storage=False)
+    # pre-collision velocity at the centre block (the only jacobian
+    # input): either recomputed from the saved state f, or read directly
+    # from the forward kernel's emitted-u residual (d fields vs q)
+    u = u2 = None
+    if f_ref is not None:
+        if residual_u:
+            u = [read_f(a) for a in range(d)]
+            u2 = None
+            for uc in u:
+                u2 = uc * uc if u2 is None else u2 + uc * uc
+        else:
+            _rho, u, u2 = _moments(read_f, q, e, d, dev_storage=False)
 
     if is3d:
         bys = by * S
@@ -307,17 +319,21 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
                   block_target_2d: int = 128,
                   vmem_limit_mb: Optional[int] = None,
                   yhalo_rows: Optional[int] = None,
+                  residual_u: bool = False,
                   interpret: bool = False) -> jax.Array:
     """Exact VJP of one fused collide-and-stream step.
 
-    ``f`` is the step *input* (the residual saved by the forward pass),
-    ``g`` the cotangent of the step output; returns the cotangent of
-    ``f``. ``tau_inv = None`` means NoCollision. ``no_streaming_mask``
-    must be a static (numpy) array — its adjoint re-routing masks are
-    pre-shifted at trace time.
+    ``f`` is the residual saved by the forward pass — the step input
+    state [q, ...], or with ``residual_u`` the pre-collision velocity
+    [d, ...] emitted by the forward kernel (``emit_u``), which is all
+    the BGK jacobian needs: backward traffic drops from 3q to 2q + d
+    fields. ``g`` is the cotangent of the step output; returns the
+    cotangent of the step input. ``tau_inv = None`` means NoCollision.
+    ``no_streaming_mask`` must be a static (numpy) array — its adjoint
+    re-routing masks are pre-shifted at trace time.
     """
     q = e.shape[0]
-    shape = f.shape[1:]
+    shape = g.shape[1:]
     d = len(shape)
     bx, by, yhalo, S = plan_blocks(shape, q, g.dtype,
                                    block_target=block_target,
@@ -350,8 +366,11 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
 
     centre_spec = pl.BlockSpec(out_block, out_index,
                                memory_space=pltpu.VMEM)
-    in_specs.append(centre_spec)
-    inputs.append(f.reshape(merged_shape))
+    if tau_inv is not None:
+        lead = f.shape[0]  # q, or d when the residual is the emitted u
+        in_specs.append(pl.BlockSpec((lead,) + out_block[1:], out_index,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(f.reshape((lead,) + merged_shape[1:]))
     if has_ncm:
         in_specs.append(pl.BlockSpec(out_block[1:], mask_index,
                                      memory_space=pltpu.VMEM))
@@ -373,7 +392,8 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
         _adjoint_kernel,
         e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
         bx=bx, by=by, S=S, has_ncm=has_ncm, has_nsm=has_nsm,
-        boundary_kinds=tuple(boundary_kinds), yhalo=yhalo)
+        boundary_kinds=tuple(boundary_kinds), yhalo=yhalo,
+        residual_u=residual_u)
 
     compiler_params = None
     if vmem_limit_mb is not None:
@@ -394,14 +414,16 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
         compiler_params=compiler_params,
         interpret=interpret,
     )(*inputs)
-    return out.reshape(f.shape)
+    return out.reshape(g.shape)
 
 
 def build_adjoint_step(simulation, params, ncm, nsm):
-    """Closure ``adj(f, ct) -> ct_f`` for ``build_fused_step``'s backward
-    rule, or raise NotImplementedError when this configuration must fall
-    back to the jnp vjp (non-BGK collisions, hybrid outlets and padding
-    are excluded by the caller)."""
+    """Closure ``adj(residual, ct) -> ct_f`` for ``build_fused_step``'s
+    backward rule, or raise NotImplementedError when this configuration
+    must fall back to the jnp vjp (non-BGK collisions, hybrid outlets and
+    padding are excluded by the caller). ``adj.residual`` names what the
+    forward must save: ``"u"`` (the kernel's emitted pre-collision
+    velocity) for BGK, ``None`` for NoCollision."""
     spec = params["collision_spec"]
     if spec[0] == "bgk":
         tau_inv = spec[1]
@@ -420,6 +442,7 @@ def build_adjoint_step(simulation, params, ncm, nsm):
               vmem_limit_mb=params.get("vmem_limit_mb"),
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
+              residual_u=tau_inv is not None,
               interpret=params["interpret"])
     # fail at build time, not first-backward time, if the plan is bad
     plan_blocks(tuple(simulation.flow.resolution),
@@ -427,7 +450,8 @@ def build_adjoint_step(simulation, params, ncm, nsm):
                 block_target=kw["block_target"],
                 yhalo_rows=kw["yhalo_rows"])
 
-    def adj(f, ct):
-        return fused_adjoint(f, ct, no_collision_mask=ncm,
+    def adj(res, ct):
+        return fused_adjoint(res, ct, no_collision_mask=ncm,
                              no_streaming_mask=nsm_np, **kw)
+    adj.residual = "u" if tau_inv is not None else None
     return adj

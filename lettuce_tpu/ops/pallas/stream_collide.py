@@ -1121,7 +1121,8 @@ def _stream_collide_kernel(
         collision_spec: Optional[tuple] = None,
         has_feq_field: bool = False,
         dev_storage: bool = False, debug_mode: str = "full",
-        n_sub: int = 1, minor_image: Optional[Tuple[int, int]] = None):
+        n_sub: int = 1, minor_image: Optional[Tuple[int, int]] = None,
+        emit_u: bool = False):
     """Kernel body (2D: by is None). With ``dev_storage`` the state is the
     deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
     only rho gains +1 and the relaxed base term gains -tau_inv.
@@ -1158,6 +1159,10 @@ def _stream_collide_kernel(
             idx += 1
     out_ref = refs[idx]
     idx += 1
+    u_ref = None
+    if emit_u:
+        u_ref = refs[idx]
+        idx += 1
     slab = refs[idx]
     idx += 1
     slab2 = None
@@ -1234,6 +1239,15 @@ def _stream_collide_kernel(
         bys = None
         interior = (slice(1, 1 + bx), slice(None))
 
+    if u_ref is not None:
+        # pre-collision velocity as a second output: the adjoint kernel's
+        # residual (d fields instead of q — see ops/pallas/adjoint.py)
+        for a in range(d):
+            val = u[a][interior]
+            if val.dtype != u_ref.dtype:
+                val = val.astype(u_ref.dtype)
+            u_ref[a] = val
+
     # ------------------------------------------------------------------
     # fused per-q pipeline: collide (pluggable fragment) -> boundary
     # replace -> pull-stream -> write
@@ -1306,6 +1320,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          n_sub: int = 1,
                          yhalo_rows: Optional[int] = None,
                          minor_image: Optional[Tuple[int, int]] = None,
+                         emit_u: bool = False,
                          interpret: bool = False) -> jax.Array:
     """One fused collide-and-stream step via Pallas (``n_sub`` steps when
     temporally blocked).
@@ -1396,6 +1411,9 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                                          memory_space=pltpu.VMEM))
             inputs.append(nsm_packed)
 
+    if emit_u and n_sub > 1:
+        raise NotImplementedError("emit_u is a single-step residual hook")
+
     kernel = partial(
         _stream_collide_kernel,
         e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
@@ -1406,7 +1424,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         collision_spec=collision_spec,
         has_feq_field=has_feq_field,
         dev_storage=dev_storage, debug_mode=debug_mode, n_sub=n_sub,
-        minor_image=minor_image)
+        minor_image=minor_image, emit_u=emit_u)
 
     compiler_params = None
     if vmem_limit_mb is not None:
@@ -1428,17 +1446,30 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         scratch.append(pltpu.VMEM((q, bx + 2 * n_sub, slab_rows, LANES),
                                   jnp.bool_))
 
+    out_specs = pl.BlockSpec(out_block, out_index, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(merged_shape, f.dtype)
+    if emit_u:
+        u_dtype = (jnp.float32 if jnp.dtype(f.dtype).itemsize == 2
+                   else f.dtype)
+        out_specs = [out_specs,
+                     pl.BlockSpec((d,) + out_block[1:], out_index,
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((d,) + merged_shape[1:], u_dtype)]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(out_block, out_index,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(merged_shape, f.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=compiler_params,
         interpret=interpret,
     )(*inputs)
+    if emit_u:
+        out, u_out = out
+        return out.reshape(f.shape), u_out.reshape((d,) + f.shape[1:])
     return out.reshape(f.shape)
 
 
@@ -1740,13 +1771,27 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     def step(f):
         return fused(f)
 
-    def step_fwd(f):
-        return fused(f), f
-
     if adjoint is not None:
-        def step_bwd(f, ct):
-            return (adjoint(f, ct),)
+        if adjoint.residual == "u":
+            # the forward-under-vjp variant also emits the pre-collision
+            # velocity: the only jacobian input the adjoint needs, at d
+            # residual fields instead of q (throughput calls outside vjp
+            # run the plain primal and never pay the extra writes)
+            def step_fwd(f):
+                out, u = fused_stream_collide(
+                    f, no_collision_mask=ncm, no_streaming_mask=nsm,
+                    dev_storage=dev_storage, emit_u=True, **params)
+                return out, u
+        else:
+            def step_fwd(f):
+                return fused(f), None
+
+        def step_bwd(res, ct):
+            return (adjoint(res, ct),)
     else:
+        def step_fwd(f):
+            return fused(f), f
+
         def step_bwd(f, ct):
             _, vjp = jax.vjp(jnp_step, f)
             return vjp(ct)
