@@ -15,17 +15,20 @@ imaged:
 
 * forward:  pull-stream(+e) after a per-node collision;
 * adjoint:  pull-stream(-e) of the cotangent FIRST (``h_i(y) =
-  g_i(y + e_i)``), then the transposed collision jacobian, which for BGK
-  reduces to weighted moments of h:
+  g_i(y + e_i)``), then the transposed collision jacobian. Writing the
+  collision as ``f' = f - M (f - feq(f))`` with a symmetric static
+  relaxation matrix M (BGK: ``M = I/tau``; TRT:
+  ``M = (cp + cm) I + (cp - cm) O``, O the opposite permutation), the
+  transpose reduces to ``t = M h`` plus weighted moments of t:
 
-      (J^T h)_j = (1 - 1/tau) h_j + 1/tau * (A' + e_j . B)
+      (J^T h)_j = h_j - t_j + (A' + e_j . B)
 
-  with A' and B built from the moments S0 = sum w_i h_i,
-  S1_a = sum w_i e_ia h_i, S2_ab = sum w_i e_ia e_ib h_i and the
+  with A' and B built from the moments S0 = sum w_i t_i,
+  S1_a = sum w_i e_ia t_i, S2_ab = sum w_i e_ia e_ib t_i and the
   pre-collision velocity u — the same add/sub-tree shape as the forward
   equilibrium. (Derivation: feq_i = rho * phi_i(u),
   dfeq_i/df_j = phi_i + sum_a dphi_i/du_a (e_ja - u_a); contracting with
-  h gives A = sum phi_i h_i, B_a = sum (dphi_i/du_a) h_i,
+  t gives A = sum phi_i t_i, B_a = sum (dphi_i/du_a) t_i,
   A' = A - u . B. Sanity identities: h = 1 -> J^T h = 1 (mass
   conservation transposed), h_i = e_ib -> (J^T h)_j = e_jb.)
 
@@ -81,7 +84,7 @@ def _pairs_of(e: np.ndarray, opposite: np.ndarray):
 
 def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
                     opposite: np.ndarray, cs: float,
-                    tau_inv: Optional[float], bx: int, by: Optional[int],
+                    spec: tuple, bx: int, by: Optional[int],
                     S: int, has_ncm: bool, has_nsm: bool,
                     boundary_kinds: Tuple[Tuple[str, int], ...],
                     yhalo: int, residual_u: bool = False):
@@ -90,11 +93,12 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
     is3d = by is not None
     d = 3 if is3d else 2
     n_parts = 9 if is3d else 3
+    kind = spec[0]
 
     g_parts = refs[:n_parts]
     idx = n_parts
     f_ref = None
-    if tau_inv is not None:  # NoCollision's adjoint needs no state
+    if kind != "none":  # NoCollision's adjoint needs no state
         f_ref = refs[idx]
         idx += 1
     ncm = None
@@ -170,19 +174,18 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
                 + jnp.where(nsm_c_ref[qi], centre, 0.0)
         return shifted
 
-    keep = None if tau_inv is None else 1.0 - tau_inv
-
-    def partial_out(qi, h_i, h_opp):
-        """Everything except the fluid-node moment term: identity /
-        relaxation diagonal + transposed boundary replacements."""
-        val = h_i if keep is None else keep * h_i
+    def partial_out(qi, h_i, h_opp, val):
+        """Everything except the fluid-node moment term. ``val`` is the
+        fluid diagonal part h - Mh; ``h_i`` routes identity (unclaimed
+        masked) nodes; ``h_opp`` routes bounce-back nodes (their adjoint
+        is the opposite re-route); equilibrium replacements are constant
+        in f, so their adjoint is zero."""
         if has_ncm:
-            # non-fluid nodes not claimed by a kind keep f_i -> adjoint h_i
             val = jnp.where(ncm == 0, val, h_i)
-            for kind, index in boundary_kinds:
-                if kind == "bounce_back":
+            for bkind, index in boundary_kinds:
+                if bkind == "bounce_back":
                     val = jnp.where(ncm == index, h_opp, val)
-                else:  # equilibrium replacements are constant in f
+                else:
                     val = jnp.where(ncm == index, jnp.zeros_like(val), val)
         if val.dtype != out_ref.dtype:
             val = val.astype(out_ref.dtype)
@@ -190,32 +193,60 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
     pairs, rest = _pairs_of(e, opposite)
 
-    if tau_inv is None:
+    if kind == "none":
         # NoCollision: J = I; the adjoint is the streaming transpose only
         for qp, qm in pairs:
-            partial_out(qp, h_of(qp), h_of(qm))
-            partial_out(qm, h_of(qm), h_of(qp))
+            hp, hm = h_of(qp), h_of(qm)
+            partial_out(qp, hp, hm, hp)
+            partial_out(qm, hm, hp, hm)
         if rest is not None:
             h0 = h_of(rest)
-            partial_out(rest, h0, h0)
+            partial_out(rest, h0, h0, h0)
         return
 
     # ------------------------------------------------------------------
-    # weighted cotangent moments, pair-shared (e_a odd / e_a e_b even
-    # under q -> qbar): S0, S1_a ride pair sums/diffs, one w multiply
-    # per pair
+    # t = M h, where M is the (symmetric) relaxation matrix: tau_inv * I
+    # for BGK, (cp + cm) I + (cp - cm) O for TRT (O = opposite
+    # permutation; cp/cm absorb the 1/2 of the parity projectors, like
+    # the forward fragment). The full transposed jacobian is then
+    #   J^T h = h - t + K^T t
+    # with K^T t the equilibrium-jacobian moments of t, so BGK and TRT
+    # share everything below.
     # ------------------------------------------------------------------
+    if kind == "bgk":
+        tau_inv = spec[1]
+
+        def t_pair(hp, hm):
+            return tau_inv * hp, tau_inv * hm
+
+        def t_rest(h0):
+            return tau_inv * h0
+    else:  # trt
+        _, tau_plus, tau_minus = spec
+        cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
+        csum, cdif = cp + cm, cp - cm
+
+        def t_pair(hp, hm):
+            return csum * hp + cdif * hm, csum * hm + cdif * hp
+
+        def t_rest(h0):
+            return (2.0 * cp) * h0
+
+    # weighted moments of t, pair-shared (e_a odd / e_a e_b even under
+    # q -> qbar): S0, S1_a, S2_ab ride pair sums/diffs, one w multiply
+    # per pair
     sym_pairs = [(a, b) for a in range(d) for b in range(a, d)]
     S0 = None
     S1 = [None] * d
     S2 = {p: None for p in sym_pairs}
     for qp, qm in pairs:
         hp, hm = h_of(qp), h_of(qm)
-        partial_out(qp, hp, hm)
-        partial_out(qm, hm, hp)
+        tp, tm = t_pair(hp, hm)
+        partial_out(qp, hp, hm, hp - tp)
+        partial_out(qm, hm, hp, hm - tm)
         wq = float(w[qp])
-        ws = wq * (hp + hm)
-        wd = wq * (hp - hm)
+        ws = wq * (tp + tm)
+        wd = wq * (tp - tm)
         S0 = ws if S0 is None else S0 + ws
         for a in range(d):
             ea = int(e[qp, a])
@@ -231,8 +262,9 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
             S2[(a, b)] = t if S2[(a, b)] is None else S2[(a, b)] + t
     if rest is not None:
         h0 = h_of(rest)
-        partial_out(rest, h0, h0)
-        t = float(w[rest]) * h0
+        t0 = t_rest(h0)
+        partial_out(rest, h0, h0, h0 - t0)
+        t = float(w[rest]) * t0
         S0 = t if S0 is None else S0 + t
 
     # A' + e_j . B from the moments and u (see module docstring)
@@ -282,8 +314,9 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
         Ap = Ap - u[a] * B[a]
 
     # fluid-node moment term, pair-shared: delta(+-e) = A' +- e . B
-    tAp = tau_inv * Ap
-    tB = [tau_inv * ba for ba in B]
+    # (the relaxation scaling already lives in t)
+    tAp = Ap
+    tB = B
 
     def add_fluid(qi, delta):
         cur = out_ref[qi]
@@ -311,7 +344,7 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
 def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
                   opposite: np.ndarray, cs: float,
-                  tau_inv: Optional[float],
+                  spec: tuple,
                   no_collision_mask: Optional[jax.Array] = None,
                   no_streaming_mask: Optional[np.ndarray] = None,
                   boundary_kinds: Tuple[Tuple[str, int], ...] = (),
@@ -326,9 +359,10 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     ``f`` is the residual saved by the forward pass — the step input
     state [q, ...], or with ``residual_u`` the pre-collision velocity
     [d, ...] emitted by the forward kernel (``emit_u``), which is all
-    the BGK jacobian needs: backward traffic drops from 3q to 2q + d
-    fields. ``g`` is the cotangent of the step output; returns the
-    cotangent of the step input. ``tau_inv = None`` means NoCollision.
+    the equilibrium jacobian needs: backward traffic drops from 3q to
+    2q + d fields. ``g`` is the cotangent of the step output; returns
+    the cotangent of the step input. ``spec`` is the collision:
+    ("bgk", tau_inv) | ("trt", tau_plus, tau_minus) | ("none",).
     ``no_streaming_mask`` must be a static (numpy) array — its adjoint
     re-routing masks are pre-shifted at trace time.
     """
@@ -366,7 +400,7 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
 
     centre_spec = pl.BlockSpec(out_block, out_index,
                                memory_space=pltpu.VMEM)
-    if tau_inv is not None:
+    if spec[0] != "none":
         lead = f.shape[0]  # q, or d when the residual is the emitted u
         in_specs.append(pl.BlockSpec((lead,) + out_block[1:], out_index,
                                      memory_space=pltpu.VMEM))
@@ -390,7 +424,7 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
 
     kernel = partial(
         _adjoint_kernel,
-        e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
+        e=e, w=w, opposite=opposite, cs=cs, spec=spec,
         bx=bx, by=by, S=S, has_ncm=has_ncm, has_nsm=has_nsm,
         boundary_kinds=tuple(boundary_kinds), yhalo=yhalo,
         residual_u=residual_u)
@@ -420,16 +454,12 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
 def build_adjoint_step(simulation, params, ncm, nsm):
     """Closure ``adj(residual, ct) -> ct_f`` for ``build_fused_step``'s
     backward rule, or raise NotImplementedError when this configuration
-    must fall back to the jnp vjp (non-BGK collisions, hybrid outlets and
-    padding are excluded by the caller). ``adj.residual`` names what the
-    forward must save: ``"u"`` (the kernel's emitted pre-collision
-    velocity) for BGK, ``None`` for NoCollision."""
+    must fall back to the jnp vjp (unsupported collisions, hybrid outlets
+    and padding are excluded by the caller). ``adj.residual`` names what
+    the forward must save: ``"u"`` (the kernel's emitted pre-collision
+    velocity) for BGK/TRT, ``None`` for NoCollision."""
     spec = params["collision_spec"]
-    if spec[0] == "bgk":
-        tau_inv = spec[1]
-    elif spec[0] == "none":
-        tau_inv = None
-    else:
+    if spec[0] not in ("bgk", "trt", "none"):
         raise NotImplementedError(
             f"adjoint kernel has no {spec[0]} jacobian fragment")
     nsm_np = None
@@ -437,12 +467,12 @@ def build_adjoint_step(simulation, params, ncm, nsm):
         nsm_np = np.asarray(nsm)
 
     kw = dict(e=params["e"], w=params["w"], opposite=params["opposite"],
-              cs=params["cs"], tau_inv=tau_inv,
+              cs=params["cs"], spec=spec,
               boundary_kinds=params["boundary_kinds"],
               vmem_limit_mb=params.get("vmem_limit_mb"),
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
-              residual_u=tau_inv is not None,
+              residual_u=spec[0] != "none",
               interpret=params["interpret"])
     # fail at build time, not first-backward time, if the plan is bad
     plan_blocks(tuple(simulation.flow.resolution),
@@ -453,5 +483,5 @@ def build_adjoint_step(simulation, params, ncm, nsm):
     def adj(res, ct):
         return fused_adjoint(res, ct, no_collision_mask=ncm,
                              no_streaming_mask=nsm_np, **kw)
-    adj.residual = "u" if tau_inv is not None else None
+    adj.residual = "u" if spec[0] != "none" else None
     return adj

@@ -146,13 +146,33 @@ def test_adjoint_disabled_env(monkeypatch):
     _assert_close(g_k, g_j, 1e-12)
 
 
-def test_adjoint_falls_back_for_non_bgk():
-    """TRT has no adjoint fragment yet: the step stays differentiable via
-    the jnp vjp and the flag reports the fallback."""
+def test_adjoint_trt():
+    """TRT's relaxation matrix is symmetric (O commutes with itself), so
+    its adjoint shares the BGK kernel via t = M h."""
     flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
     tau = flow.units.relaxation_parameter_lu
-    g_k, g_j = _grad_both(flow, lt.TRTCollision(tau, tau),
+    g_k, g_j = _grad_both(flow, lt.TRTCollision(tau, tau * 1.3))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_trt_3d_masked():
+    mask = np.zeros((8, 16, 128), dtype=bool)
+    mask[:, 0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[8, 16, 128], stencil=lt.D3Q19(),
+                    boundaries=[lt.BounceBackBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.TRTCollision(0.8, 0.95))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_falls_back_for_unsupported_collision():
+    """Smagorinsky's tau_eff depends on f: no adjoint fragment; the step
+    stays differentiable via the jnp vjp and the flag reports it."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    tau = flow.units.relaxation_parameter_lu
+    g_k, g_j = _grad_both(flow, lt.SmagorinskyCollision(tau),
                           expect_adjoint=False)
     _assert_close(g_k, g_j, 1e-12)
 
