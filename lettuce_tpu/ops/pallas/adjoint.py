@@ -16,10 +16,11 @@ imaged:
 * forward:  pull-stream(+e) after a per-node collision;
 * adjoint:  pull-stream(-e) of the cotangent FIRST (``h_i(y) =
   g_i(y + e_i)``), then the transposed collision jacobian. Writing the
-  collision as ``f' = f - M (f - feq(f))`` with a symmetric static
-  relaxation matrix M (BGK: ``M = I/tau``; TRT:
-  ``M = (cp + cm) I + (cp - cm) O``, O the opposite permutation), the
-  transpose reduces to ``t = M h`` plus weighted moments of t:
+  collision as ``f' = f - M (f - feq(f))`` with a static relaxation
+  matrix M (BGK: ``M = I/tau``; TRT: ``M = (cp + cm) I + (cp - cm) O``,
+  O the opposite permutation — both symmetric; folded MRT:
+  ``M = Minv diag(1/tau) M``; regularized: ``M = I - (1 - 1/tau) P``),
+  the transpose reduces to ``t = M^T h`` plus weighted moments of t:
 
       (J^T h)_j = h_j - t_j + (A' + e_j . B)
 
@@ -59,7 +60,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stream_collide import (LANES, _halo_specs, _moments, _roll_minor,
-                             _store_parts, _RollMasks, plan_blocks)
+                             _store_parts, _RollMasks, build_pair_apply,
+                             plan_blocks)
 
 __all__ = ["fused_adjoint", "build_adjoint_step"]
 
@@ -205,32 +207,57 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
         return
 
     # ------------------------------------------------------------------
-    # t = M h, where M is the (symmetric) relaxation matrix: tau_inv * I
-    # for BGK, (cp + cm) I + (cp - cm) O for TRT (O = opposite
-    # permutation; cp/cm absorb the 1/2 of the parity projectors, like
-    # the forward fragment). The full transposed jacobian is then
+    # t = M^T h, where M is the static relaxation matrix: tau_inv * I for
+    # BGK, (cp + cm) I + (cp - cm) O for TRT (O = opposite permutation;
+    # cp/cm absorb the 1/2 of the parity projectors, like the forward
+    # fragment — both symmetric), or an arbitrary f-space matrix for the
+    # "matvec" spec (folded MRT C = Minv diag(1/tau) M; regularized
+    # C = I - (1 - 1/tau) P — transposed at build time). The full
+    # transposed jacobian is then
     #   J^T h = h - t + K^T t
-    # with K^T t the equilibrium-jacobian moments of t, so BGK and TRT
-    # share everything below.
+    # with K^T t the equilibrium-jacobian moments of t, so every
+    # f-linear collision shares everything below.
     # ------------------------------------------------------------------
+    hs = {}
+
+    def h_at(qi):
+        v = hs.get(qi)
+        if v is None:
+            v = hs[qi] = h_of(qi)
+        return v
+
     if kind == "bgk":
         tau_inv = spec[1]
 
-        def t_pair(hp, hm):
-            return tau_inv * hp, tau_inv * hm
+        def t_at(qp, qm):
+            return tau_inv * h_at(qp), tau_inv * h_at(qm)
 
-        def t_rest(h0):
-            return tau_inv * h0
-    else:  # trt
+        def t_rest(q0):
+            return tau_inv * h_at(q0)
+    elif kind == "trt":
         _, tau_plus, tau_minus = spec
         cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
         csum, cdif = cp + cm, cp - cm
 
-        def t_pair(hp, hm):
+        def t_at(qp, qm):
+            hp, hm = h_at(qp), h_at(qm)
             return csum * hp + cdif * hm, csum * hm + cdif * hp
 
-        def t_rest(h0):
-            return (2.0 * cp) * h0
+        def t_rest(q0):
+            return (2.0 * cp) * h_at(q0)
+    else:  # matvec: one pair-shared static matvec, like the forward MRT
+        ts = build_pair_apply(np.asarray(spec[1], dtype=np.float64),
+                              opposite)([h_at(qi) for qi in range(q)])
+
+        def t_of(qi):
+            # a structurally zero row would mean the collision output
+            # ignores f entirely along qi; keep the algebra total anyway
+            return ts[qi] if ts[qi] is not None else h_at(qi) * 0.0
+
+        def t_at(qp, qm):
+            return t_of(qp), t_of(qm)
+
+        t_rest = t_of
 
     # weighted moments of t, pair-shared (e_a odd / e_a e_b even under
     # q -> qbar): S0, S1_a, S2_ab ride pair sums/diffs, one w multiply
@@ -240,8 +267,8 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
     S1 = [None] * d
     S2 = {p: None for p in sym_pairs}
     for qp, qm in pairs:
-        hp, hm = h_of(qp), h_of(qm)
-        tp, tm = t_pair(hp, hm)
+        hp, hm = h_at(qp), h_at(qm)
+        tp, tm = t_at(qp, qm)
         partial_out(qp, hp, hm, hp - tp)
         partial_out(qm, hm, hp, hm - tm)
         wq = float(w[qp])
@@ -261,8 +288,8 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
             t = ws if c == 1 else -ws
             S2[(a, b)] = t if S2[(a, b)] is None else S2[(a, b)] + t
     if rest is not None:
-        h0 = h_of(rest)
-        t0 = t_rest(h0)
+        h0 = h_at(rest)
+        t0 = t_rest(rest)
         partial_out(rest, h0, h0, h0 - t0)
         t = float(w[rest]) * t0
         S0 = t if S0 is None else S0 + t
@@ -362,7 +389,9 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     the equilibrium jacobian needs: backward traffic drops from 3q to
     2q + d fields. ``g`` is the cotangent of the step output; returns
     the cotangent of the step input. ``spec`` is the collision:
-    ("bgk", tau_inv) | ("trt", tau_plus, tau_minus) | ("none",).
+    ("bgk", tau_inv) | ("trt", tau_plus, tau_minus) | ("none",) |
+    ("matvec", C_transposed) for any f-linear collision
+    ``f' = f - C (f - feq)`` (folded MRT, regularized).
     ``no_streaming_mask`` must be a static (numpy) array — its adjoint
     re-routing masks are pre-shifted at trace time.
     """
@@ -459,7 +488,34 @@ def build_adjoint_step(simulation, params, ncm, nsm):
     the forward must save: ``"u"`` (the kernel's emitted pre-collision
     velocity) for BGK/TRT, ``None`` for NoCollision."""
     spec = params["collision_spec"]
-    if spec[0] not in ("bgk", "trt", "none"):
+    if spec[0] == "mrt":
+        # folded MRT f' = f - C (f - feq), C = Minv diag(1/tau) M static:
+        # the transposed jacobian is t = C^T h plus the shared quadratic
+        # equilibrium-jacobian moments. Analytic-meq forms relax toward
+        # meq(rho, j) instead of the feq image — a different K — and fall
+        # back to the jnp vjp for now.
+        _, M_t, Minv_t, taus, meq_kind = spec
+        if meq_kind != "from_feq":
+            raise NotImplementedError(
+                "adjoint kernel covers the folded from_feq MRT form only")
+        M_np = np.asarray(M_t, dtype=np.float64)
+        Minv_np = np.asarray(Minv_t, dtype=np.float64)
+        s_np = 1.0 / np.asarray([float(t) for t in taus], dtype=np.float64)
+        C = Minv_np @ (s_np[:, None] * M_np)
+        spec = ("matvec", tuple(map(tuple, C.T)))
+    elif spec[0] == "reg":
+        # regularized f' = feq + (1 - 1/tau) P (f - feq) with the static
+        # projection P_ij = w_i ((e_i.e_j)^2 - cs^2 |e_j|^2) / (2 cs^4):
+        # f-linear with C = I - (1 - 1/tau) P
+        e_np = np.asarray(params["e"], dtype=np.float64)
+        w_np = np.asarray(params["w"], dtype=np.float64)
+        cs2 = float(params["cs"]) ** 2
+        G = e_np @ e_np.T
+        P = (G * G - cs2 * (e_np * e_np).sum(axis=1)[None, :]) \
+            * (w_np[:, None] / (2.0 * cs2 * cs2))
+        C = np.eye(len(w_np)) - (1.0 - 1.0 / float(spec[1])) * P
+        spec = ("matvec", tuple(map(tuple, C.T)))
+    elif spec[0] not in ("bgk", "trt", "none"):
         raise NotImplementedError(
             f"adjoint kernel has no {spec[0]} jacobian fragment")
     nsm_np = None

@@ -304,6 +304,59 @@ def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
             k += 1
 
 
+def build_pair_apply(mat: np.ndarray, opposite: np.ndarray):
+    """Static f-space matvec ``out[qi] = sum_c mat[qi][c] v[c]``, HALVED
+    via opposite-pair parity when ``mat`` commutes with the opposite
+    permutation (then it maps pair-sums to pair-sums and pair-diffs to
+    pair-diffs, so the even and odd accumulations are shared between +e
+    and -e outputs; verified numerically at build, dense fallback
+    otherwise). Used by the folded MRT fragment and, transposed, by the
+    adjoint kernel's linear-collision jacobians (ops/pallas/adjoint.py)."""
+    nq = mat.shape[0]
+    perm = [int(opposite[qi]) for qi in range(nq)]
+    selfs = [qi for qi in range(nq) if perm[qi] == qi]
+    prs = [(a, perm[a]) for a in range(nq) if a < perm[a]]
+
+    def dot(coeffs, vecs):
+        acc = None
+        for c, v in zip(coeffs, vecs):
+            if c == 0.0 or v is None:
+                continue
+            t = v if c == 1.0 else v * float(c)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def apply_dense(vlist):
+        return [dot(mat[qi], vlist) for qi in range(nq)]
+
+    if not np.allclose(mat[np.ix_(perm, perm)], mat, atol=1e-11):
+        return apply_dense
+
+    # even basis: selfs then pair sums; odd basis: pair diffs
+    ce = {qi: [mat[qi][s] for s in selfs]
+          + [0.5 * (mat[qi][a] + mat[qi][b]) for a, b in prs]
+          for qi in [s for s in selfs] + [a for a, _ in prs]}
+    co = {a: [0.5 * (mat[a][x] - mat[a][y]) for x, y in prs]
+          for a, _ in prs}
+
+    def apply_pairs(vlist):
+        ue = ([vlist[s] for s in selfs]
+              + [vlist[a] + vlist[b] for a, b in prs])
+        uo = [vlist[a] - vlist[b] for a, b in prs]
+        out = [None] * nq
+        for s in selfs:
+            out[s] = dot(ce[s], ue)
+        for a, b in prs:
+            ev, od = dot(ce[a], ue), dot(co[a], uo)
+            if ev is None:
+                out[a], out[b] = od, (None if od is None else -od)
+            elif od is None:
+                out[a] = out[b] = ev
+            else:
+                out[a], out[b] = ev + od, ev - od
+        return out
+    return apply_pairs
+
 
 def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                   dev_storage):
@@ -574,55 +627,7 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         C_np = Minv_np @ (s_np[:, None] * M_np)
         perm = [int(opposite[qi]) for qi in range(nq)]
 
-        def build_pair_apply(mat, ncols_basis=None):
-            """Static-matrix application out[qi] = sum_c mat[qi][c] v[c],
-            exploiting parity when mat commutes with the opposite
-            permutation of its OUTPUT axis (and, for square f-space
-            matrices, its input axis)."""
-            selfs = [qi for qi in range(nq) if perm[qi] == qi]
-            prs = [(a, perm[a]) for a in range(nq) if a < perm[a]]
-
-            def dot(coeffs, vecs):
-                acc = None
-                for c, v in zip(coeffs, vecs):
-                    if c == 0.0 or v is None:
-                        continue
-                    t = v if c == 1.0 else v * float(c)
-                    acc = t if acc is None else acc + t
-                return acc
-
-            def apply_dense(vlist):
-                return [dot(mat[qi], vlist) for qi in range(nq)]
-
-            if not np.allclose(mat[np.ix_(perm, perm)], mat, atol=1e-11):
-                return apply_dense
-
-            # even basis: selfs then pair sums; odd basis: pair diffs
-            ce = {qi: [mat[qi][s] for s in selfs]
-                  + [0.5 * (mat[qi][a] + mat[qi][b]) for a, b in prs]
-                  for qi in [s for s in selfs] + [a for a, _ in prs]}
-            co = {a: [0.5 * (mat[a][x] - mat[a][y]) for x, y in prs]
-                  for a, _ in prs}
-
-            def apply_pairs(vlist):
-                ue = ([vlist[s] for s in selfs]
-                      + [vlist[a] + vlist[b] for a, b in prs])
-                uo = [vlist[a] - vlist[b] for a, b in prs]
-                out = [None] * nq
-                for s in selfs:
-                    out[s] = dot(ce[s], ue)
-                for a, b in prs:
-                    ev, od = dot(ce[a], ue), dot(co[a], uo)
-                    if ev is None:
-                        out[a], out[b] = od, (None if od is None else -od)
-                    elif od is None:
-                        out[a] = out[b] = ev
-                    else:
-                        out[a], out[b] = ev + od, ev - od
-                return out
-            return apply_pairs
-
-        apply_C = build_pair_apply(C_np)
+        apply_C = build_pair_apply(C_np, opposite)
 
         if meq_kind == "from_feq":
             # exact image of the quadratic equilibrium (D3Q19 d'Humieres):

@@ -166,6 +166,51 @@ def test_adjoint_trt_3d_masked():
     _assert_close(g_k, g_j, 1e-12)
 
 
+def test_adjoint_mrt_dhumieres():
+    """Folded MRT f' = f - C (f - feq) is f-linear: the adjoint applies
+    the transposed static matvec C^T plus the shared quadratic
+    equilibrium-jacobian moments."""
+    flow = lt.TaylorGreenVortex(_ctx(), [8, 16, 128], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    transform = lt.D3Q19DHumieres(flow.stencil, flow.context)
+    taus = [1.0, 1.2, 1.1, 1.0, 1.3, 1.0, 1.3, 1.0, 1.3,
+            0.9, 1.1, 0.9, 1.1, 0.9, 0.9, 0.9, 1.2, 1.2, 1.2]
+    g_k, g_j = _grad_both(
+        flow, lt.MRTCollision(transform, taus, flow.context))
+    _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_mrt_analytic_meq_falls_back():
+    """Analytic-moment MRT relaxes toward meq(rho, j) — a different
+    equilibrium jacobian; it stays differentiable via the jnp vjp."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    transform = lt.D2Q9Lallemand(flow.stencil, flow.context)
+    g_k, g_j = _grad_both(
+        flow, lt.MRTCollision(transform, [1.1] * 9, flow.context),
+        expect_adjoint=False)
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_regularized_2d():
+    """Regularized collision is f-linear through the static Q projection:
+    C = I - (1 - 1/tau) P transposes like the folded MRT."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(flow, lt.RegularizedCollision(0.8))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_regularized_3d_masked():
+    mask = np.zeros((8, 16, 128), dtype=bool)
+    mask[:, 0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[8, 16, 128], stencil=lt.D3Q19(),
+                    boundaries=[lt.BounceBackBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.RegularizedCollision(0.8))
+    _assert_close(g_k, g_j, 1e-11)
+
+
 def test_adjoint_falls_back_for_unsupported_collision():
     """Smagorinsky's tau_eff depends on f: no adjoint fragment; the step
     stays differentiable via the jnp vjp and the flag reports it."""
