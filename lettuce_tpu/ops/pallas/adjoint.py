@@ -59,11 +59,51 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stream_collide import (LANES, _halo_specs, _moments, _roll_minor,
-                             _store_parts, _RollMasks, build_pair_apply,
-                             plan_blocks)
+from .stream_collide import (LANES, _halo_specs, _minor_fold, _moments,
+                             _roll_minor, _store_parts, _RollMasks,
+                             build_pair_apply, plan_blocks)
 
-__all__ = ["fused_adjoint", "build_adjoint_step"]
+__all__ = ["fused_adjoint", "build_adjoint_step", "adjoint_collision_spec"]
+
+
+def adjoint_collision_spec(params):
+    """The transposed static relaxation spec for :func:`fused_adjoint`,
+    derived from the forward gate's ``collision_spec`` — or raise
+    ``NotImplementedError`` for collisions without an adjoint fragment
+    (Smagorinsky/KBC: tau depends on f; analytic-moment MRT: a different
+    equilibrium jacobian)."""
+    spec = params["collision_spec"]
+    if spec[0] == "mrt":
+        # folded MRT f' = f - C (f - feq), C = Minv diag(1/tau) M static:
+        # the transposed jacobian is t = C^T h plus the shared quadratic
+        # equilibrium-jacobian moments. Analytic-meq forms relax toward
+        # meq(rho, j) instead of the feq image — a different K — and fall
+        # back to the jnp vjp for now.
+        _, M_t, Minv_t, taus, meq_kind = spec
+        if meq_kind != "from_feq":
+            raise NotImplementedError(
+                "adjoint kernel covers the folded from_feq MRT form only")
+        M_np = np.asarray(M_t, dtype=np.float64)
+        Minv_np = np.asarray(Minv_t, dtype=np.float64)
+        s_np = 1.0 / np.asarray([float(t) for t in taus], dtype=np.float64)
+        C = Minv_np @ (s_np[:, None] * M_np)
+        return ("matvec", tuple(map(tuple, C.T)))
+    if spec[0] == "reg":
+        # regularized f' = feq + (1 - 1/tau) P (f - feq) with the static
+        # projection P_ij = w_i ((e_i.e_j)^2 - cs^2 |e_j|^2) / (2 cs^4):
+        # f-linear with C = I - (1 - 1/tau) P
+        e_np = np.asarray(params["e"], dtype=np.float64)
+        w_np = np.asarray(params["w"], dtype=np.float64)
+        cs2 = float(params["cs"]) ** 2
+        G = e_np @ e_np.T
+        P = (G * G - cs2 * (e_np * e_np).sum(axis=1)[None, :]) \
+            * (w_np[:, None] / (2.0 * cs2 * cs2))
+        C = np.eye(len(w_np)) - (1.0 - 1.0 / float(spec[1])) * P
+        return ("matvec", tuple(map(tuple, C.T)))
+    if spec[0] not in ("bgk", "trt", "none"):
+        raise NotImplementedError(
+            f"adjoint kernel has no {spec[0]} jacobian fragment")
+    return spec
 
 
 def _pairs_of(e: np.ndarray, opposite: np.ndarray):
@@ -89,7 +129,8 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
                     spec: tuple, bx: int, by: Optional[int],
                     S: int, has_ncm: bool, has_nsm: bool,
                     boundary_kinds: Tuple[Tuple[str, int], ...],
-                    yhalo: int, residual_u: bool = False):
+                    yhalo: int, residual_u: bool = False,
+                    minor_fold: Optional[Tuple[int, int]] = None):
     q = e.shape[0]
     cs2 = cs * cs
     is3d = by is not None
@@ -195,6 +236,18 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
     pairs, rest = _pairs_of(e, opposite)
 
+    def apply_minor_fold():
+        # ghost-image padding: fold the minor-axis ghost cotangents onto
+        # their wrap sources and zero the bands, in VMEM (the jnp
+        # alternative pays lane-misaligned relayout passes — measured
+        # 4.6x at 256x256x250)
+        if minor_fold is None:
+            return
+        for qi in range(q):
+            v = out_ref[qi]
+            out_ref[qi] = _minor_fold(v, minor_fold[0], minor_fold[1],
+                                      S if is3d else v.shape[-2])
+
     if kind == "none":
         # NoCollision: J = I; the adjoint is the streaming transpose only
         for qp, qm in pairs:
@@ -204,6 +257,7 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
         if rest is not None:
             h0 = h_of(rest)
             partial_out(rest, h0, h0, h0)
+        apply_minor_fold()
         return
 
     # ------------------------------------------------------------------
@@ -367,6 +421,7 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
         add_fluid(qm, tAp - eb)
     if rest is not None:
         add_fluid(rest, tAp)
+    apply_minor_fold()
 
 
 def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
@@ -374,12 +429,14 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
                   spec: tuple,
                   no_collision_mask: Optional[jax.Array] = None,
                   no_streaming_mask: Optional[np.ndarray] = None,
+                  no_streaming_shifted: Optional[jax.Array] = None,
                   boundary_kinds: Tuple[Tuple[str, int], ...] = (),
                   block_target: Tuple[int, int] = (16, 32),
                   block_target_2d: int = 128,
                   vmem_limit_mb: Optional[int] = None,
                   yhalo_rows: Optional[int] = None,
                   residual_u: bool = False,
+                  minor_fold: Optional[Tuple[int, int]] = None,
                   interpret: bool = False) -> jax.Array:
     """Exact VJP of one fused collide-and-stream step.
 
@@ -393,7 +450,11 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     ("matvec", C_transposed) for any f-linear collision
     ``f' = f - C (f - feq)`` (folded MRT, regularized).
     ``no_streaming_mask`` must be a static (numpy) array — its adjoint
-    re-routing masks are pre-shifted at trace time.
+    re-routing pair ``nsm_i(y + e_i)`` is pre-shifted at trace time —
+    UNLESS ``no_streaming_shifted`` provides that pair partner as a
+    traced array (the sharded path: both are per-shard slabs of global
+    host-precomputed masks, so the shift crosses shard boundaries
+    correctly).
     """
     q = e.shape[0]
     shape = g.shape[1:]
@@ -440,14 +501,17 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
         inputs.append(no_collision_mask.astype(jnp.int32).reshape(
             merged_shape[1:]))
     if has_nsm:
-        nsm = np.asarray(no_streaming_mask)
-        # static pre-shifts: nsm_i(y + e_i) per q (adjoint of the
-        # destination-frozen select)
-        nsm_shift = np.stack([
-            np.roll(nsm[qi], tuple(-int(s) for s in e[qi]),
-                    axis=tuple(range(d)))
-            for qi in range(q)])
-        for m in (nsm, nsm_shift):
+        if no_streaming_shifted is not None:
+            mask_pair = (no_streaming_mask, no_streaming_shifted)
+        else:
+            nsm = np.asarray(no_streaming_mask)
+            # static pre-shifts: nsm_i(y + e_i) per q (adjoint of the
+            # destination-frozen select)
+            mask_pair = (nsm, np.stack([
+                np.roll(nsm[qi], tuple(-int(s) for s in e[qi]),
+                        axis=tuple(range(d)))
+                for qi in range(q)]))
+        for m in mask_pair:
             in_specs.append(centre_spec)
             inputs.append(jnp.asarray(m).reshape(merged_shape))
 
@@ -456,7 +520,7 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
         e=e, w=w, opposite=opposite, cs=cs, spec=spec,
         bx=bx, by=by, S=S, has_ncm=has_ncm, has_nsm=has_nsm,
         boundary_kinds=tuple(boundary_kinds), yhalo=yhalo,
-        residual_u=residual_u)
+        residual_u=residual_u, minor_fold=minor_fold)
 
     compiler_params = None
     if vmem_limit_mb is not None:
@@ -480,44 +544,18 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     return out.reshape(g.shape)
 
 
-def build_adjoint_step(simulation, params, ncm, nsm):
+def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
+                       minor_fold=None):
     """Closure ``adj(residual, ct) -> ct_f`` for ``build_fused_step``'s
     backward rule, or raise NotImplementedError when this configuration
-    must fall back to the jnp vjp (unsupported collisions, hybrid outlets
-    and padding are excluded by the caller). ``adj.residual`` names what
+    must fall back to the jnp vjp (unsupported collisions and hybrid
+    outlets are excluded by the caller). ``adj.residual`` names what
     the forward must save: ``"u"`` (the kernel's emitted pre-collision
-    velocity) for BGK/TRT, ``None`` for NoCollision."""
-    spec = params["collision_spec"]
-    if spec[0] == "mrt":
-        # folded MRT f' = f - C (f - feq), C = Minv diag(1/tau) M static:
-        # the transposed jacobian is t = C^T h plus the shared quadratic
-        # equilibrium-jacobian moments. Analytic-meq forms relax toward
-        # meq(rho, j) instead of the feq image — a different K — and fall
-        # back to the jnp vjp for now.
-        _, M_t, Minv_t, taus, meq_kind = spec
-        if meq_kind != "from_feq":
-            raise NotImplementedError(
-                "adjoint kernel covers the folded from_feq MRT form only")
-        M_np = np.asarray(M_t, dtype=np.float64)
-        Minv_np = np.asarray(Minv_t, dtype=np.float64)
-        s_np = 1.0 / np.asarray([float(t) for t in taus], dtype=np.float64)
-        C = Minv_np @ (s_np[:, None] * M_np)
-        spec = ("matvec", tuple(map(tuple, C.T)))
-    elif spec[0] == "reg":
-        # regularized f' = feq + (1 - 1/tau) P (f - feq) with the static
-        # projection P_ij = w_i ((e_i.e_j)^2 - cs^2 |e_j|^2) / (2 cs^4):
-        # f-linear with C = I - (1 - 1/tau) P
-        e_np = np.asarray(params["e"], dtype=np.float64)
-        w_np = np.asarray(params["w"], dtype=np.float64)
-        cs2 = float(params["cs"]) ** 2
-        G = e_np @ e_np.T
-        P = (G * G - cs2 * (e_np * e_np).sum(axis=1)[None, :]) \
-            * (w_np[:, None] / (2.0 * cs2 * cs2))
-        C = np.eye(len(w_np)) - (1.0 - 1.0 / float(spec[1])) * P
-        spec = ("matvec", tuple(map(tuple, C.T)))
-    elif spec[0] not in ("bgk", "trt", "none"):
-        raise NotImplementedError(
-            f"adjoint kernel has no {spec[0]} jacobian fragment")
+    velocity) for BGK/TRT, ``None`` for NoCollision. ``shape`` is the
+    grid the adjoint runs on — the PADDED shape under ghost-image
+    padding (``ncm``/``nsm`` must then be the padded masks; the caller
+    composes the fold/zero-pad transposes around this kernel)."""
+    spec = adjoint_collision_spec(params)
     nsm_np = None
     if nsm is not None:
         nsm_np = np.asarray(nsm)
@@ -529,9 +567,12 @@ def build_adjoint_step(simulation, params, ncm, nsm):
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
               residual_u=spec[0] != "none",
+              minor_fold=minor_fold,
               interpret=params["interpret"])
     # fail at build time, not first-backward time, if the plan is bad
-    plan_blocks(tuple(simulation.flow.resolution),
+    if shape is None:
+        shape = tuple(simulation.flow.resolution)
+    plan_blocks(tuple(shape),
                 params["e"].shape[0], simulation.flow.f.dtype,
                 block_target=kw["block_target"],
                 yhalo_rows=kw["yhalo_rows"])

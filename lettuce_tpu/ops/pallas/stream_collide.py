@@ -215,6 +215,54 @@ def _minor_image_fix(x, n: int, depth: int, S_group: int):
     return jnp.where(z >= npad - depth, flat_roll(npad - n), out)
 
 
+def _minor_fold(x, n: int, depth: int, S_group: int):
+    """Transpose of the minor-axis ghost-image pad, fused into the adjoint
+    kernel's output tile: ghost-band cotangents are accumulated onto their
+    wrap sources and every ghost position is zeroed.
+
+    The mirror image of :func:`_minor_image_fix` — there sources lie BELOW
+    the consumed band (downward rolls stay inside the z-group), here the
+    consumed positions are the valid region and their sources lie ABOVE
+    (the bands), so the rolls go upward: ``inv_flat_roll(r)[p] = x[p + r]``
+    over the flattened (s_phase, lane) axis, exact wherever the source
+    stays inside the same z-group — which it does for every consumed
+    (valid) position, since band sources satisfy ``p + r < npad``.
+
+    Tile-mode minors (``npad % n == 0``) fold every periodic copy onto the
+    first; image mode folds the two ``depth`` bands. Middle-garbage
+    positions carry zero cotangent under the zero-ghost invariant (their
+    only readers are ghost outputs), so they are simply zeroed."""
+    ndim = x.ndim
+    rows = x.shape[-2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, ndim - 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, ndim - 2)
+    s_phase = row if S_group == rows else row % S_group
+    z = s_phase * LANES + lane
+    npad = S_group * LANES
+    zero = jnp.zeros_like(x)
+
+    def inv_flat_roll(r):
+        # result[p] = x[p + r] over the flattened (s_phase, lane) axis
+        rl, rr = r % LANES, r // LANES
+        a = _roll(x, (LANES - rl) % LANES, axis=ndim - 1) if rl else x
+        b = _roll(a, (rows - rr % rows) % rows, axis=ndim - 2) \
+            if rr % rows else a
+        if rl == 0:
+            return b
+        c = _roll(a, (rows - (rr + 1) % rows) % rows, axis=ndim - 2)
+        return jnp.where(lane >= LANES - rl, c, b)
+
+    if npad % n == 0:  # tile mode: sum all copies onto the first
+        acc = x
+        for j in range(1, npad // n):
+            acc = acc + inv_flat_roll(j * n)
+        return jnp.where(z < n, acc, zero)
+    add = jnp.where(z < depth, inv_flat_roll(n), zero) \
+        + jnp.where((z >= n - depth) & (z < n), inv_flat_roll(npad - n),
+                    zero)
+    return jnp.where(z < n, x + add, zero)
+
+
 # ----------------------------------------------------------------------
 # halo-as-blocked-inputs plumbing
 # ----------------------------------------------------------------------
@@ -1761,14 +1809,29 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     # backward rule: the adjoint kernel (exact VJP in one memory-bound
     # pass, ~2/3 forward speed) when the configuration supports it,
     # otherwise the jnp-path vjp (exact but ~10x slower). LETTUCE_ADJOINT=0
-    # forces the jnp vjp (A/B benchmarking).
+    # forces the jnp vjp (A/B benchmarking). Ghost-image padding composes:
+    # the step's transpose is zero_pad . fold . K_p^T . zero_pad . fold
+    # (K_p the padded kernel map — boundary dependencies ride the INPUT
+    # image bands created by pad_state, so the adjoint kernel's own wrap
+    # reads only ever see zeroed ghost cotangents). The INPUT fold is
+    # skipped: every supported consumer of padded state (the step chain
+    # itself, whose backward zeroes the ghost bands, and the codec's
+    # unpad, whose transpose zero-pads) hands this rule a cotangent with
+    # ZERO ghost bands, making zero_pad . fold the identity. The OUTPUT
+    # fold is mandatory (input-image cells carry real cotangents) and
+    # runs in-kernel for the minor axis (_minor_fold) + as tile-aligned
+    # slice adds for leading axes (fold_zero_leading).
     import os as _os
     adjoint = None
-    if (padding is None and not hybrid
+    if (not hybrid
             and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
         try:
             from .adjoint import build_adjoint_step
-            adjoint = build_adjoint_step(simulation, params, ncm, nsm)
+            adjoint = build_adjoint_step(
+                simulation, params, ncm, nsm,
+                shape=padding.padded if padding is not None else None,
+                minor_fold=(padding.minor_fold if padding is not None
+                            else None))
         except NotImplementedError:
             adjoint = None
 
@@ -1786,13 +1849,24 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
                 out, u = fused_stream_collide(
                     f, no_collision_mask=ncm, no_streaming_mask=nsm,
                     dev_storage=dev_storage, emit_u=True, **params)
+                if padding is not None and padding.leading_axes_padded:
+                    # keep the primal/fwd outputs identical (the kernel's
+                    # in-VMEM fix covered the minor bands)
+                    out = padding.refresh(out, skip_minor=True)
                 return out, u
         else:
             def step_fwd(f):
                 return fused(f), None
 
-        def step_bwd(res, ct):
-            return (adjoint(res, ct),)
+        if padding is not None:
+            def step_bwd(res, ct):
+                ad = adjoint(res, ct)
+                if padding.leading_axes_padded:
+                    ad = padding.fold_zero_leading(ad)
+                return (ad,)
+        else:
+            def step_bwd(res, ct):
+                return (adjoint(res, ct),)
     else:
         def step_fwd(f):
             return fused(f), f

@@ -306,6 +306,31 @@ class Simulation:
         p, u = pad
         return lambda f: u(step(p(f)))
 
+    def make_segment_fn(self, num_steps: int):
+        """``num_steps`` collide-and-stream steps as one pure,
+        reverse-differentiable function on the PUBLIC (unpadded) state —
+        the rollout analog of :meth:`make_step_fn` for training loops.
+
+        Under ghost-image padding the pad codec converts ONCE per segment
+        instead of once per step, which is the difference between kernel
+        speed and codec-bound (measured 802 vs 217 MLUPS fwd+bwd for an
+        8-step gradient at 256x256x250). The steps run under ``lax.scan``
+        with a bounded unroll (scan's per-iteration carry handling costs
+        ~1.8x at unroll=1; 8-way recovers the unrolled-loop speed without
+        growing the compiled program with segment length)."""
+        step = self._step
+        pad = getattr(step, "pad_codec", None)
+        unroll = min(int(num_steps), 8)
+
+        def segment(f):
+            if pad is not None:
+                f = pad[0](f)
+            f = jax.lax.scan(lambda c, _: (step(c), None), f,
+                             length=num_steps, unroll=unroll)[0]
+            return pad[1](f) if pad is not None else f
+
+        return segment
+
     def _run_steps(self, f: jax.Array, n) -> jax.Array:
         encode, decode, step, multi = self._select_steps()
         g = encode(f)

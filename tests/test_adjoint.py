@@ -222,12 +222,98 @@ def test_adjoint_falls_back_for_unsupported_collision():
     _assert_close(g_k, g_j, 1e-12)
 
 
-def test_adjoint_padded_grid_falls_back():
-    """Ghost-image padding composes with the jnp vjp only (for now); the
-    step must stay differentiable and exact."""
+def test_adjoint_padded_minor_image_2d():
+    """Ghost-image padding (minor 100 -> 128, image mode) composes with
+    the adjoint kernel: the step transpose is zero_pad . fold . K_p^T .
+    zero_pad . fold — boundary dependencies ride the input image bands."""
     flow = lt.TaylorGreenVortex(_ctx(), [16, 100], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
     g_k, g_j = _grad_both(
-        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu),
-        expect_adjoint=False)
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
     _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_padded_tile_mode_2d():
+    """Tile-mode minor padding (64 -> 128, a full periodic copy): the
+    fold transpose sums the copies' cotangents."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 64], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_padded_leading_axis_3d():
+    """3D grid padded on BOTH the y axis (leading, jnp refresh in the
+    forward) and the minor axis: fold must transpose the sequential
+    takes in reverse axis order (corners)."""
+    flow = lt.TaylorGreenVortex(_ctx(), [8, 17, 100], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_padded_masked_walls():
+    """Padded grid + mask-coded boundaries: the padded masks carry image
+    semantics, so ghost-band adjoint contributions match the true wrap."""
+    flow = lt.Cavity2D(_ctx(), [16, 100], 100, 0.05)
+    g_k, g_j = _grad_both(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_padded_frozen_populations():
+    """Padded grid + no-streaming mask: the adjoint's statically
+    pre-shifted nsm pair shifts at the PADDED extent, matching the padded
+    forward kernel's pull semantics."""
+    class FrozenBoundary(lt.BounceBackBoundary):
+        def make_no_streaming_mask(self, shape, context):
+            m = np.zeros(tuple(shape), dtype=bool)
+            m[:, 8] = True
+            return context.convert_to_tensor(m)
+
+    mask = np.zeros((16, 100), dtype=bool)
+    mask[0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[16, 100], stencil=lt.D2Q9(),
+                    boundaries=[FrozenBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.BGKCollision(0.8))
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_segment_fn_padded():
+    """make_segment_fn scans the padded step with the codec applied once
+    per segment; its gradient matches the per-step public chain (whose
+    codec custom-vjp folds with slice adds instead of scatter)."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 100], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    assert sim._step.adjoint_kernel
+    seg = sim.make_segment_fn(3)
+    step = sim.make_step_fn()
+
+    def loss_seg(f):
+        return jnp.sum(flow.view(seg(f)).incompressible_energy())
+
+    def loss_step(f):
+        for _ in range(3):
+            f = step(f)
+        return jnp.sum(flow.view(f).incompressible_energy())
+
+    g1 = jax.grad(loss_seg)(flow.f)
+    g2 = jax.grad(loss_step)(flow.f)
+    _assert_close(np.asarray(g1), np.asarray(g2), 1e-12)
+
+
+def test_adjoint_padded_mrt_matvec():
+    """Padded grid + folded-MRT matvec adjoint compose."""
+    flow = lt.TaylorGreenVortex(_ctx(), [8, 16, 100], 100, 0.05,
+                                stencil=lt.D3Q19(), initialize_fneq=False)
+    transform = lt.D3Q19DHumieres(flow.stencil, flow.context)
+    taus = [1.0, 1.2, 1.1, 1.0, 1.3, 1.0, 1.3, 1.0, 1.3,
+            0.9, 1.1, 0.9, 1.1, 0.9, 0.9, 0.9, 1.2, 1.2, 1.2]
+    g_k, g_j = _grad_both(
+        flow, lt.MRTCollision(transform, taus, flow.context))
+    _assert_close(g_k, g_j, 1e-11)
