@@ -178,7 +178,8 @@ class DomainDecomposition:
                            axis_name: str, n_shards: int,
                            pernode: Tuple[int, ...] = (),
                            dev: bool = False, shard_axis: int = 0,
-                           hybrid_fixup=None, pad=None):
+                           hybrid_fixup=None, pad=None,
+                           adjoint_kw=None):
         """Per-shard fused-Pallas step with halo fix-up.
 
         The fused kernel runs on the local shard with *locally periodic*
@@ -319,6 +320,109 @@ class DomainDecomposition:
                         s = (slice(None),) + sel
                         out = out.at[s].set(pad.refresh(out[s]))
             return out
+
+        if adjoint_kw is not None:
+            # --------------------------------------------------------------
+            # exact transpose of `step` above: the adjoint Pallas kernel on
+            # the locally-periodic shard + the edge-plane exchange/collide
+            # transposed. Decomposition of the forward's output entries:
+            #   * non-edge (and e_ax == 0) entries come from the local
+            #     kernel, whose locally-wrapped pulls read EXACTLY the
+            #     entries the edge fix overwrote — so zeroing those
+            #     entries' cotangent makes the local adjoint kernel the
+            #     exact transpose of the kernel's surviving contributions;
+            #   * overwritten edge entries (e_ax = +-1, not frozen) come
+            #     from roll_rest(ppermute(collide(neighbour edge plane))):
+            #     transpose = roll(-rest), reverse ppermute, and the
+            #     collide jacobian^T at OWN edge planes (jax.vjp on the
+            #     tiny plane — the bulk stays on the kernel);
+            #   * frozen edge entries kept the kernel value fpost_i(x),
+            #     whose only f dependence is the own-plane collide — the
+            #     same fp_first/fp_last cotangent as the neighbour path,
+            #     so they ride the same plane vjp (their in-kernel
+            #     cotangent is zeroed with the rest: the globally-shifted
+            #     nsm pair cannot distinguish my first plane from the
+            #     neighbour's, so the kernel must not see edge cotangents
+            #     at all).
+            # --------------------------------------------------------------
+            from ..ops.pallas.adjoint import fused_adjoint
+
+            def local_bwd(f, ct, ncm_l, nsm_l, nsm_s_l, feq_l):
+                psel = [slice(None)] * d
+                psel[ax] = slice(0, 1)
+                first_sel = tuple(psel)
+                n_loc = f.shape[ax + 1]
+                psel[ax] = slice(n_loc - 1, n_loc)
+                last_sel = tuple(psel)
+                rest_axes = tuple(i for i in range(d) if i != ax)
+
+                ct_k = ct
+                zf = jnp.zeros_like(ct[(0,) + first_sel])
+                zl = jnp.zeros_like(ct[(0,) + last_sel])
+                send_first = [zf] * q   # -> cotangent of left's fp_last
+                send_last = [zl] * q    # -> cotangent of right's fp_first
+                own_first = [zf] * q    # frozen keeps of MY fp_first
+                own_last = [zl] * q
+                for qi in range(q):
+                    ea = int(e[qi, ax])
+                    if ea == 0:
+                        continue
+                    rest = tuple(int(e[qi, i]) for i in rest_axes)
+                    unroll = tuple(-r for r in rest)
+                    if ea == 1:
+                        sel = (qi,) + first_sel
+                        v = ct[sel]
+                        kept = (jnp.where(nsm_l[sel], v, 0.0)
+                                if nsm_l is not None
+                                else jnp.zeros_like(v))
+                        ct_k = ct_k.at[sel].set(jnp.zeros_like(v))
+                        send_first[qi] = jnp.roll(v - kept, unroll,
+                                                  axis=rest_axes)
+                        own_first[qi] = kept
+                    else:
+                        sel = (qi,) + last_sel
+                        v = ct[sel]
+                        kept = (jnp.where(nsm_l[sel], v, 0.0)
+                                if nsm_l is not None
+                                else jnp.zeros_like(v))
+                        ct_k = ct_k.at[sel].set(jnp.zeros_like(v))
+                        send_last[qi] = jnp.roll(v - kept, unroll,
+                                                 axis=rest_axes)
+                        own_last[qi] = kept
+
+                ct_f = fused_adjoint(
+                    f, ct_k, no_collision_mask=ncm_l,
+                    no_streaming_mask=nsm_l,
+                    no_streaming_shifted=nsm_s_l, **adjoint_kw)
+
+                # transpose of the two ppermutes (reverse rings), plus the
+                # frozen keeps of my own collided planes
+                ct_fp_last = jax.lax.ppermute(
+                    jnp.stack(send_first), axis_name, bwd) \
+                    + jnp.stack(own_last)
+                ct_fp_first = jax.lax.ppermute(
+                    jnp.stack(send_last), axis_name, fwd) \
+                    + jnp.stack(own_first)
+
+                ncm_first = None if ncm_l is None else plane(ncm_l, 0,
+                                                             False)
+                ncm_last = None if ncm_l is None else plane(ncm_l, 0, True)
+                feq_first = None if feq_l is None else plane(feq_l, 1,
+                                                             False)
+                feq_last = None if feq_l is None else plane(feq_l, 1, True)
+                _, vjp_first = jax.vjp(
+                    lambda p: collide_local(p, ncm_first, feq_first),
+                    plane(f, 1, False))
+                _, vjp_last = jax.vjp(
+                    lambda p: collide_local(p, ncm_last, feq_last),
+                    plane(f, 1, True))
+                ct_f = ct_f.at[(slice(None),) + first_sel].add(
+                    vjp_first(ct_fp_first.astype(f.dtype))[0])
+                ct_f = ct_f.at[(slice(None),) + last_sel].add(
+                    vjp_last(ct_fp_last.astype(f.dtype))[0])
+                return ct_f
+
+            step.local_bwd = local_bwd
 
         return step
 
@@ -758,11 +862,33 @@ class DomainDecomposition:
                     fixup = build_hybrid_fixup_sharded(
                         simulation, hybrid, pernode, self.grid_axes[0],
                         pad_plan=pad)
+                # adjoint-kernel backward for the supported subset
+                # (f-linear collisions, no hybrid window, no padding);
+                # other configurations keep the jnp-twin vjp below
+                import os as _os
+                adjoint_kw = None
+                if (not hybrid and pad is None and not dev
+                        and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
+                    try:
+                        from ..ops.pallas.adjoint import (
+                            adjoint_collision_spec)
+                        adjoint_kw = dict(
+                            e=params["e"], w=params["w"],
+                            opposite=params["opposite"], cs=params["cs"],
+                            spec=adjoint_collision_spec(params),
+                            boundary_kinds=params["boundary_kinds"],
+                            vmem_limit_mb=params.get("vmem_limit_mb"),
+                            block_target=params.get("block_target",
+                                                    (16, 32)),
+                            yhalo_rows=params.get("yhalo_rows"),
+                            interpret=params["interpret"])
+                    except NotImplementedError:
+                        adjoint_kw = None
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
                     self.mesh_shape[0], pernode=pernode, dev=dev,
                     shard_axis=self.grid_axes[0], hybrid_fixup=fixup,
-                    pad=pad)
+                    pad=pad, adjoint_kw=adjoint_kw)
             except NotImplementedError:
                 native_step = None
                 pad = None
@@ -832,6 +958,59 @@ class DomainDecomposition:
             if dev:
                 step = step_raw  # throughput mode: full-precision grads
                                  # go through the non-dev step
+            elif getattr(native_step, "local_bwd", None) is not None:
+                # backward at kernel speed: the per-shard adjoint Pallas
+                # kernel + transposed edge exchange (_native_local_step's
+                # local_bwd), mirroring the single-device adjoint path
+                local_bwd = native_step.local_bwd
+                nsm_s_arg = jnp.zeros((), dtype=bool)
+                if has_nsm:
+                    # the adjoint's destination-frozen pair nsm_i(y + e_i)
+                    # is shifted GLOBALLY on the host, so shard-boundary
+                    # crossings read the true neighbouring mask
+                    e_np = np.asarray(flow.stencil.e)
+                    nsm_np = np.asarray(nsm)
+                    nsm_shift = np.stack([
+                        np.roll(nsm_np[qi],
+                                tuple(-int(s) for s in e_np[qi]),
+                                axis=tuple(range(d)))
+                        for qi in range(flow.stencil.q)])
+                    nsm_s_arg = self.shard_f(jnp.asarray(nsm_shift))
+
+                def native_local_bwd(f, ct, ncm_in, nsm_in, nsm_s_in,
+                                     feq_in):
+                    return local_bwd(f, ct,
+                                     ncm_in if has_ncm else None,
+                                     nsm_in if has_nsm else None,
+                                     nsm_s_in if has_nsm else None,
+                                     feq_in if has_feq else None)
+
+                bwd_mapped = shard_map(
+                    native_local_bwd, mesh=self.mesh,
+                    in_specs=(fspec,            # residual f
+                              fspec,            # cotangent
+                              in_specs[1],      # ncm
+                              in_specs[2],      # nsm
+                              fspec if has_nsm else P(),  # nsm shifted
+                              in_specs[3]),     # feq field
+                    out_specs=fspec)
+
+                @jax.custom_vjp
+                def vstep(f):
+                    return step_raw(f)
+
+                def vstep_fwd(f):
+                    return step_raw(f), f
+
+                def vstep_bwd(f, ct):
+                    return (bwd_mapped(f, ct, args[0], args[1], nsm_s_arg,
+                                       args[2]),)
+
+                vstep.defvjp(vstep_fwd, vstep_bwd)
+
+                def step(f):
+                    return vstep(f)
+                step.adjoint_kernel = True
             else:
                 # reverse-mode differentiability: pallas_call has no
                 # autodiff rule, so pull the cotangent through the

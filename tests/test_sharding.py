@@ -976,9 +976,9 @@ def test_sharded_2dmesh_2dgrid_half_storage():
 
 
 def test_sharded_native_step_differentiable():
-    """jax.grad flows through the sharded fused-kernel step (custom_vjp
-    pulls the cotangent through the sharded jnp twin) and matches the
-    sharded jnp path's gradient."""
+    """jax.grad flows through the sharded fused-kernel step — backward is
+    the per-shard adjoint Pallas kernel with the transposed edge-plane
+    exchange — and matches the sharded jnp path's gradient."""
     grads = {}
     for use_native in (False, True):
         ctx = lt.Context(dtype=jnp.float32, use_native=use_native)
@@ -990,6 +990,7 @@ def test_sharded_native_step_differentiable():
             flow.units.relaxation_parameter_lu), [], decomposition=decomp)
         if use_native:
             assert sim._step.step_path == "pallas"
+            assert getattr(sim._step, "adjoint_kernel", False)
         step = sim.make_step_fn()
 
         def loss(f, step=step, view=flow.view):
@@ -1030,6 +1031,110 @@ def test_sharded_native_step_differentiable_padded():
     assert np.all(np.isfinite(grads[True]))
     assert float(np.abs(grads[True]).max()) > 0
     np.testing.assert_allclose(grads[True], grads[False], atol=1e-5)
+
+
+def test_sharded_adjoint_masked_frozen_f64():
+    """Sharded adjoint kernel with bounce-back walls + frozen populations,
+    including a frozen plane that IS the first plane of a shard: its
+    edge-entry cotangent keeps must ride the plane-collide vjp (the
+    globally-shifted nsm pair cannot distinguish my first plane from the
+    neighbour's inside the kernel). f64, machine-precision match vs the
+    sharded jnp path."""
+    grads = {}
+    for use_native in (False, True):
+        ctx = lt.Context(dtype=jnp.float64, use_native=use_native)
+
+        class FrozenWall(lt.BounceBackBoundary):
+            def make_no_streaming_mask(self, shape, context):
+                m = np.zeros(tuple(shape), dtype=bool)
+                m[:, 8, :, :] = True  # first plane of shard 1 (lx = 8)
+                return context.convert_to_tensor(m)
+
+        mask = np.zeros((64, 16, 128), dtype=bool)
+        mask[:, 0, :] = True  # wall on an unsharded axis
+        flow = TestFlow(ctx, resolution=[64, 16, 128], stencil=lt.D3Q19(),
+                        boundaries=[FrozenWall(mask)])
+        decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+        sim = lt.Simulation(flow, lt.BGKCollision(0.8), [],
+                            decomposition=decomp)
+        if use_native:
+            assert sim._step.step_path == "pallas"
+            assert getattr(sim._step, "adjoint_kernel", False)
+        step = sim.make_step_fn()
+
+        def loss(f, step=step, view=flow.view):
+            for _ in range(2):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    assert np.all(np.isfinite(grads[True]))
+    assert float(np.abs(grads[True]).max()) > 0
+    scale = float(np.abs(grads[False]).max())
+    np.testing.assert_allclose(grads[True], grads[False],
+                               atol=1e-12 * scale)
+
+
+def test_sharded_adjoint_trt_f64():
+    """TRT's symmetric relaxation matrix rides the sharded adjoint kernel
+    (t = M h per shard) with the same transposed edge exchange."""
+    grads = {}
+    for use_native in (False, True):
+        ctx = lt.Context(dtype=jnp.float64, use_native=use_native)
+        flow = lt.TaylorGreenVortex(ctx, [64, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+        decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+        sim = lt.Simulation(flow, lt.TRTCollision(0.8, 0.95), [],
+                            decomposition=decomp)
+        if use_native:
+            assert getattr(sim._step, "adjoint_kernel", False)
+        step = sim.make_step_fn()
+
+        def loss(f, step=step, view=flow.view):
+            for _ in range(2):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    scale = float(np.abs(grads[False]).max())
+    np.testing.assert_allclose(grads[True], grads[False],
+                               atol=1e-12 * scale)
+
+
+def test_sharded_adjoint_per_node_inlet_f64():
+    """A per-node equilibrium inlet under sharding: constant in f, so its
+    masked nodes zero in the kernel adjoint while the edge-plane vjp
+    composes the same combined-feq replacement."""
+    rng = np.random.RandomState(5)
+    vel = rng.rand(3, 64, 16, 128) * 0.05
+    grads = {}
+    for use_native in (False, True):
+        ctx = lt.Context(dtype=jnp.float64, use_native=use_native)
+        mask = np.zeros((64, 16, 128), dtype=bool)
+        mask[:, 0, :] = True
+        flow = TestFlow(ctx, resolution=[64, 16, 128], stencil=lt.D3Q19(),
+                        boundaries=[lt.EquilibriumBoundaryPU(
+                            ctx, mask, vel, 0.001)])
+        decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+        sim = lt.Simulation(flow, lt.BGKCollision(0.85), [],
+                            decomposition=decomp)
+        if use_native:
+            assert getattr(sim._step, "adjoint_kernel", False)
+        step = sim.make_step_fn()
+
+        def loss(f, step=step, view=flow.view):
+            for _ in range(2):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    scale = float(np.abs(grads[False]).max())
+    np.testing.assert_allclose(grads[True], grads[False],
+                               atol=1e-12 * scale)
 
 
 def test_step_path_introspection():
