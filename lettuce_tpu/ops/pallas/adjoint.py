@@ -545,7 +545,7 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
 
 
 def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
-                       minor_fold=None):
+                       minor_fold=None, residual_u=None):
     """Closure ``adj(residual, ct) -> ct_f`` for ``build_fused_step``'s
     backward rule, or raise NotImplementedError when this configuration
     must fall back to the jnp vjp (unsupported collisions and hybrid
@@ -554,7 +554,10 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
     velocity) for BGK/TRT, ``None`` for NoCollision. ``shape`` is the
     grid the adjoint runs on — the PADDED shape under ghost-image
     padding (``ncm``/``nsm`` must then be the padded masks; the caller
-    composes the fold/zero-pad transposes around this kernel)."""
+    composes the fold/zero-pad transposes around this kernel).
+    ``residual_u=False`` forces the full state f as the residual (the
+    hybrid-outlet backward stores f anyway for the window-replay vjp,
+    so the d-field emitted-u residual would only add memory)."""
     spec = adjoint_collision_spec(params)
     nsm_np = None
     if nsm is not None:
@@ -566,7 +569,8 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
               vmem_limit_mb=params.get("vmem_limit_mb"),
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
-              residual_u=spec[0] != "none",
+              residual_u=(spec[0] != "none" if residual_u is None
+                          else residual_u),
               minor_fold=minor_fold,
               interpret=params["interpret"])
     # fail at build time, not first-backward time, if the plan is bad
@@ -580,5 +584,6 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
     def adj(res, ct):
         return fused_adjoint(res, ct, no_collision_mask=ncm,
                              no_streaming_mask=nsm_np, **kw)
-    adj.residual = "u" if spec[0] != "none" else None
+    adj.residual = ("u" if kw["residual_u"] else
+                    ("f" if spec[0] != "none" else None))
     return adj

@@ -1823,15 +1823,18 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     # slice adds for leading axes (fold_zero_leading).
     import os as _os
     adjoint = None
-    if (not hybrid
-            and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
+    if _os.environ.get("LETTUCE_ADJOINT", "1") != "0":
         try:
             from .adjoint import build_adjoint_step
             adjoint = build_adjoint_step(
                 simulation, params, ncm, nsm,
                 shape=padding.padded if padding is not None else None,
                 minor_fold=(padding.minor_fold if padding is not None
-                            else None))
+                            else None),
+                # the hybrid backward stores f anyway (the window-replay
+                # vjp linearizes at it), so the emitted-u residual would
+                # only add memory
+                residual_u=False if hybrid else None)
         except NotImplementedError:
             adjoint = None
 
@@ -1839,7 +1842,26 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
     def step(f):
         return fused(f)
 
-    if adjoint is not None:
+    if adjoint is not None and hybrid:
+        # outlet flows: the fix-up is pure jnp and LINEAR in the kernel
+        # output (window .set / pass-through), so its own vjp splits the
+        # cotangent exactly — the written planes' part linearizes the
+        # window replay (tiny), the pass-through part (written planes
+        # zeroed) feeds the adjoint kernel, which is the exact transpose
+        # of the kernel-as-run because every locally-contaminated entry
+        # (frozen outlet nodes' neighbourhood) lies inside the written
+        # planes.
+        def step_fwd(f):
+            return fused(f), f
+
+        def step_bwd(f, ct):
+            _, vjp_fix = jax.vjp(fixup, f, jnp.zeros_like(ct))
+            df_replay, dk = vjp_fix(ct)
+            ad = adjoint(f, dk)
+            if padding is not None and padding.leading_axes_padded:
+                ad = padding.fold_zero_leading(ad)
+            return (ad + df_replay,)
+    elif adjoint is not None:
         if adjoint.residual == "u":
             # the forward-under-vjp variant also emits the pre-collision
             # velocity: the only jacobian input the adjoint needs, at d

@@ -282,6 +282,54 @@ def test_adjoint_padded_frozen_populations():
     _assert_close(g_k, g_j, 1e-12)
 
 
+def test_adjoint_hybrid_outlet_padded():
+    """Hybrid outlet fix-up + ghost-image padding + adjoint kernel, all
+    composed: the fix-up vjp splits the cotangent (window replay vs
+    pass-through), the adjoint kernel transposes the padded kernel-as-run
+    with in-VMEM minor fold."""
+    ctx = _ctx()
+    flow = lt.Obstacle(ctx, [32, 100], reynolds_number=80,
+                       mach_number=0.1, domain_length_x=3.2)
+
+    class FlowWithOutlet(lt.Obstacle):
+        @property
+        def boundaries(self):
+            inlet, _, bb = lt.Obstacle.boundaries.fget(self)
+            return [inlet, lt.AntiBounceBackOutlet([1, 0], self), bb]
+
+    flow.__class__ = FlowWithOutlet
+    x, y = flow.grid
+    flow.mask = np.asarray((x - 1.0) ** 2 + (y - 5.0) ** 2 < 0.3)
+    flow.initialize()
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    assert sim._step_kind == "pallas"
+    assert sim._step.pad_codec is not None
+    assert sim._step.adjoint_kernel
+    step = sim.make_step_fn()
+
+    ctx_j = lt.Context(dtype=jnp.float64, use_native=False)
+    flow_j = lt.Obstacle(ctx_j, [32, 100], reynolds_number=80,
+                         mach_number=0.1, domain_length_x=3.2)
+    flow_j.__class__ = FlowWithOutlet
+    flow_j.mask = flow.mask
+    flow_j.initialize()
+    sim_j = lt.Simulation(
+        flow_j, lt.BGKCollision(flow_j.units.relaxation_parameter_lu), [])
+
+    def loss(f, s, view):
+        for _ in range(3):
+            f = s(f)
+        return jnp.sum(view(f).u() ** 2)
+
+    g_n = np.asarray(jax.grad(
+        lambda f: loss(f, step, flow.view))(flow.f))
+    g_j = np.asarray(jax.grad(
+        lambda f: loss(f, sim_j.make_step_fn(), flow_j.view))(flow_j.f))
+    scale = float(np.abs(g_j).max())
+    np.testing.assert_allclose(g_n, g_j, atol=1e-12 * scale)
+
+
 def test_adjoint_segment_fn_padded():
     """make_segment_fn scans the padded step with the codec applied once
     per segment; its gradient matches the per-step public chain (whose

@@ -646,11 +646,15 @@ def test_native_hybrid_outlet_matches_jnp(outlet_cls, kw):
 
 def test_native_hybrid_outlet_differentiable():
     """jax.grad flows through the hybrid kernel+fix-up step and matches
-    the jnp-path gradient."""
+    the jnp-path gradient. The backward splits via the fix-up's own vjp:
+    written planes linearize the tiny window replay, the pass-through
+    part feeds the adjoint kernel."""
     import jax
 
     def loss_for(native):
         flow, sim = _obstacle_with_outlet(native, lt.AntiBounceBackOutlet)
+        if native:
+            assert sim._step.adjoint_kernel
 
         def loss(f0):
             f = f0
