@@ -283,9 +283,17 @@ class KBCCollision(Collision):
         sum_s = flow.rho(delta_s * delta_h / feq)
         sum_h = flow.rho(delta_h * delta_h / feq)
 
-        gamma_stab = 1.0 / beta - (2 - 1.0 / beta) * sum_s / sum_h
+        # guard the denominator BEFORE dividing (not via an isnan-where
+        # afterwards): grad-of-where still propagates NaN cotangents from
+        # a poisoned branch, so an equilibrium cell (delta_h = 0, a 0/0)
+        # would NaN every gradient flowing through a KBC rollout. Forward
+        # values are unchanged: sum_h == 0 cells got gamma = 2.0 through
+        # the old NaN guard too.
+        degenerate = sum_h == 0
+        ratio = sum_s / jnp.where(degenerate, 1.0, sum_h)
+        gamma_stab = 1.0 / beta - (2 - 1.0 / beta) * ratio
+        gamma_stab = jnp.where(degenerate, 2.0, gamma_stab)
         gamma_stab = jnp.where(gamma_stab < 1e-15, 2.0, gamma_stab)
-        gamma_stab = jnp.where(jnp.isnan(gamma_stab), 2.0, gamma_stab)
         return flow.f - beta * (2 * delta_s + gamma_stab * delta_h)
 
     def native_available(self) -> bool:

@@ -100,7 +100,7 @@ def adjoint_collision_spec(params):
             * (w_np[:, None] / (2.0 * cs2 * cs2))
         C = np.eye(len(w_np)) - (1.0 - 1.0 / float(spec[1])) * P
         return ("matvec", tuple(map(tuple, C.T)))
-    if spec[0] not in ("bgk", "trt", "none"):
+    if spec[0] not in ("bgk", "trt", "smag", "none"):
         raise NotImplementedError(
             f"adjoint kernel has no {spec[0]} jacobian fragment")
     return spec
@@ -171,8 +171,10 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
     # pre-collision velocity at the centre block (the only jacobian
     # input): either recomputed from the saved state f, or read directly
-    # from the forward kernel's emitted-u residual (d fields vs q)
-    u = u2 = None
+    # from the forward kernel's emitted-u residual (d fields vs q).
+    # Smagorinsky also needs rho and the deviations, so it always takes
+    # the state residual.
+    u = u2 = rho = None
     if f_ref is not None:
         if residual_u:
             u = [read_f(a) for a in range(d)]
@@ -180,7 +182,7 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
             for uc in u:
                 u2 = uc * uc if u2 is None else u2 + uc * uc
         else:
-            _rho, u, u2 = _moments(read_f, q, e, d, dev_storage=False)
+            rho, u, u2 = _moments(read_f, q, e, d, dev_storage=False)
 
     if is3d:
         bys = by * S
@@ -280,6 +282,8 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
             v = hs[qi] = h_of(qi)
         return v
 
+    extra_of = None   # per-pair (X_p, X_m) relaxation-derivative term
+    extra_rest = None
     if kind == "bgk":
         tau_inv = spec[1]
 
@@ -288,6 +292,130 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
 
         def t_rest(q0):
             return tau_inv * h_at(q0)
+    elif kind == "smag":
+        # Smagorinsky: f' = f - s(f) d, d = f - feq, with the per-cell
+        # relaxation s = 1/tau_eff depending on f through the shear norm
+        # R = |Pi/(2 rho cs^2)|^2 and the forward fragment's 2-step
+        # fixed point tau_{k+1} = tau + a R / tau_k^2 (a = 3 C^2; the
+        # constant term 3 nu + 1/2 equals tau). The transpose is the
+        # BGK shape with per-cell t = s h, PLUS the derivative of s:
+        #   X_j = D s^2 (dtau/dR) dR/df_j,   D = sum_i d_i h_i,
+        #   dR/df_j = [e_j^T Pi e_j - cs^2 tr Pi - 2 (Pi u).e_j
+        #              + u^T Pi u - P/rho] / (2 cs^4 rho^2)
+        # (P = |Pi|^2; the feq-jacobian contraction collapses via the
+        # closed-form second moment sum_i e e feq_i = rho (cs^2 I + uu)).
+        _, tau0, const = spec
+        inv_cs2 = 1.0 / cs2
+        sym_pairs_s = [(a, b) for a in range(d) for b in range(a, d)]
+        Pi = {p: None for p in sym_pairs_s}
+        D = None
+        for qp, qm in pairs:
+            wq = float(w[qp])
+            eu = None
+            for a_ in range(d):
+                ea_ = int(e[qp, a_])
+                if ea_ == 0:
+                    continue
+                t_ = u[a_] if ea_ == 1 else -u[a_]
+                eu = t_ if eu is None else eu + t_
+            # even/odd split of the pair's equilibria: feq_{+-} = Ew +- Ow
+            Ew = wq * rho * (1.0 + (0.5 * inv_cs2 * inv_cs2) * eu * eu
+                             - (0.5 * inv_cs2) * u2)
+            Ow = wq * rho * (inv_cs2 * eu)
+            fp_, fm_ = read_f(qp), read_f(qm)
+            dsum = (fp_ + fm_) - 2.0 * Ew      # d_p + d_m
+            ddif = (fp_ - fm_) - 2.0 * Ow      # d_p - d_m
+            hp_, hm_ = h_at(qp), h_at(qm)
+            t_ = 0.5 * (dsum * (hp_ + hm_) + ddif * (hp_ - hm_))
+            D = t_ if D is None else D + t_
+            for (a_, b_) in sym_pairs_s:
+                c_ = int(e[qp, a_]) * int(e[qp, b_])
+                if c_ == 0:
+                    continue
+                t_ = dsum if c_ == 1 else -dsum
+                Pi[(a_, b_)] = t_ if Pi[(a_, b_)] is None \
+                    else Pi[(a_, b_)] + t_
+        if rest is not None:
+            d0 = read_f(rest) - float(w[rest]) * rho * (
+                1.0 - (0.5 * inv_cs2) * u2)
+            t_ = d0 * h_at(rest)
+            D = t_ if D is None else D + t_
+
+        P = None
+        trPi = None
+        for (a_, b_) in sym_pairs_s:
+            v = Pi[(a_, b_)]
+            if v is None:
+                continue
+            t_ = v * v if a_ == b_ else 2.0 * (v * v)
+            P = t_ if P is None else P + t_
+            if a_ == b_:
+                trPi = v if trPi is None else trPi + v
+        inv_rho = 1.0 / rho
+        R = P * ((0.25 * inv_cs2 * inv_cs2) * inv_rho * inv_rho)
+        a_c = 3.0 * const * const
+        tau_c = tau0          # scalar, becomes a field after the 1st pass
+        dtau = None           # dtau_k/dR
+        for _k in range(2):
+            inv_t2 = (1.0 / (tau_c * tau_c) if _k else 1.0 / (tau0 * tau0))
+            new_dtau = a_c * inv_t2
+            if dtau is not None:
+                new_dtau = new_dtau - (2.0 * a_c) * R * inv_t2 \
+                    * (1.0 / tau_c) * dtau
+            dtau = new_dtau
+            tau_c = tau0 + a_c * R * inv_t2
+        s_field = 1.0 / tau_c
+        Piu = []
+        for a_ in range(d):
+            acc = None
+            for b_ in range(d):
+                v = Pi[(a_, b_) if a_ <= b_ else (b_, a_)]
+                if v is None:
+                    continue
+                t_ = u[b_] * v
+                acc = t_ if acc is None else acc + t_
+            Piu.append(acc)
+        uPiu = None
+        for a_ in range(d):
+            if Piu[a_] is None:
+                continue
+            t_ = u[a_] * Piu[a_]
+            uPiu = t_ if uPiu is None else uPiu + t_
+        base = -cs2 * trPi - P * inv_rho
+        if uPiu is not None:
+            base = base + uPiu
+        c0 = D * (s_field * s_field) * dtau \
+            * ((0.5 * inv_cs2 * inv_cs2) * inv_rho * inv_rho)
+
+        def t_at(qp, qm):
+            return s_field * h_at(qp), s_field * h_at(qm)
+
+        def t_rest(q0):
+            return s_field * h_at(q0)
+
+        def extra_of(qp):
+            Geven = None
+            for (a_, b_) in sym_pairs_s:
+                c_ = int(e[qp, a_]) * int(e[qp, b_])
+                v = Pi[(a_, b_)]
+                if c_ == 0 or v is None:
+                    continue
+                coef = float(c_) if a_ == b_ else 2.0 * c_
+                t_ = v * coef
+                Geven = t_ if Geven is None else Geven + t_
+            godd = None
+            for a_ in range(d):
+                ea_ = int(e[qp, a_])
+                if ea_ == 0 or Piu[a_] is None:
+                    continue
+                t_ = Piu[a_] if ea_ == 1 else -Piu[a_]
+                godd = t_ if godd is None else godd + t_
+            even = base if Geven is None else base + Geven
+            if godd is None:
+                return c0 * even, c0 * even
+            return c0 * (even - 2.0 * godd), c0 * (even + 2.0 * godd)
+
+        extra_rest = c0 * base
     elif kind == "trt":
         _, tau_plus, tau_minus = spec
         cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
@@ -417,10 +545,15 @@ def _adjoint_kernel(*refs, e: np.ndarray, w: np.ndarray,
                 continue
             t = tB[a] if ea == 1 else -tB[a]
             eb = t if eb is None else eb + t
-        add_fluid(qp, tAp + eb)
-        add_fluid(qm, tAp - eb)
+        if extra_of is None:
+            add_fluid(qp, tAp + eb)
+            add_fluid(qm, tAp - eb)
+        else:
+            Xp, Xm = extra_of(qp)
+            add_fluid(qp, tAp + eb + Xp)
+            add_fluid(qm, tAp - eb + Xm)
     if rest is not None:
-        add_fluid(rest, tAp)
+        add_fluid(rest, tAp if extra_rest is None else tAp + extra_rest)
     apply_minor_fold()
 
 
@@ -456,6 +589,9 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     host-precomputed masks, so the shift crosses shard boundaries
     correctly).
     """
+    if spec[0] == "smag" and residual_u:
+        raise ValueError("the smagorinsky adjoint needs the state "
+                         "residual (rho and deviations), not emitted u")
     q = e.shape[0]
     shape = g.shape[1:]
     d = len(shape)
@@ -569,8 +705,11 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
               vmem_limit_mb=params.get("vmem_limit_mb"),
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
-              residual_u=(spec[0] != "none" if residual_u is None
-                          else residual_u),
+              # Smagorinsky needs rho and the deviations, so it always
+              # takes the state residual
+              residual_u=(spec[0] not in ("none", "smag")
+                          if residual_u is None
+                          else (residual_u and spec[0] != "smag")),
               minor_fold=minor_fold,
               interpret=params["interpret"])
     # fail at build time, not first-backward time, if the plan is bad

@@ -1876,6 +1876,11 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
                     # in-VMEM fix covered the minor bands)
                     out = padding.refresh(out, skip_minor=True)
                 return out, u
+        elif adjoint.residual == "f":
+            # state residual (Smagorinsky: the jacobian needs rho and
+            # the deviations, not just u)
+            def step_fwd(f):
+                return fused(f), f
         else:
             def step_fwd(f):
                 return fused(f), None

@@ -212,14 +212,43 @@ def test_adjoint_regularized_3d_masked():
 
 
 def test_adjoint_falls_back_for_unsupported_collision():
-    """Smagorinsky's tau_eff depends on f: no adjoint fragment; the step
-    stays differentiable via the jnp vjp and the flag reports it."""
+    """KBC's entropic stabiliser has no adjoint fragment; the step stays
+    differentiable via the jnp vjp and the flag reports it."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(flow, lt.KBCCollision2D(
+        flow.units.relaxation_parameter_lu), expect_adjoint=False)
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_smagorinsky_2d():
+    """Smagorinsky's per-cell tau_eff(f) differentiates in-kernel: the
+    BGK-shaped transpose with per-cell t = s h plus the relaxation
+    derivative term D s^2 (dtau/dR) dR/df."""
     flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
     tau = flow.units.relaxation_parameter_lu
-    g_k, g_j = _grad_both(flow, lt.SmagorinskyCollision(tau),
-                          expect_adjoint=False)
-    _assert_close(g_k, g_j, 1e-12)
+    g_k, g_j = _grad_both(flow, lt.SmagorinskyCollision(tau))
+    _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_smagorinsky_3d_masked():
+    mask = np.zeros((8, 16, 128), dtype=bool)
+    mask[:, 0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[8, 16, 128], stencil=lt.D3Q19(),
+                    boundaries=[lt.BounceBackBoundary(mask)])
+    g_k, g_j = _grad_both(flow, lt.SmagorinskyCollision(0.8))
+    _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_smagorinsky_padded():
+    """Smagorinsky adjoint composes with ghost-image padding."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 100], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    tau = flow.units.relaxation_parameter_lu
+    g_k, g_j = _grad_both(flow, lt.SmagorinskyCollision(tau))
+    _assert_close(g_k, g_j, 1e-11)
 
 
 def test_adjoint_padded_minor_image_2d():

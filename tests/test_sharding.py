@@ -1104,6 +1104,35 @@ def test_sharded_adjoint_trt_f64():
                                atol=1e-12 * scale)
 
 
+def test_sharded_adjoint_smagorinsky_f64():
+    """Smagorinsky's per-cell tau_eff(f) adjoint is pointwise, so it
+    shards transparently: the per-shard adjoint kernel computes the
+    relaxation-derivative term from local f."""
+    grads = {}
+    for use_native in (False, True):
+        ctx = lt.Context(dtype=jnp.float64, use_native=use_native)
+        flow = lt.TaylorGreenVortex(ctx, [64, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=True)
+        decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+        sim = lt.Simulation(flow, lt.SmagorinskyCollision(0.8), [],
+                            decomposition=decomp)
+        if use_native:
+            assert getattr(sim._step, "adjoint_kernel", False)
+        step = sim.make_step_fn()
+
+        def loss(f, step=step, view=flow.view):
+            for _ in range(2):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    scale = float(np.abs(grads[False]).max())
+    np.testing.assert_allclose(grads[True], grads[False],
+                               atol=1e-11 * scale)
+
+
 def test_sharded_adjoint_per_node_inlet_f64():
     """A per-node equilibrium inlet under sharding: constant in f, so its
     masked nodes zero in the kernel adjoint while the edge-plane vjp
