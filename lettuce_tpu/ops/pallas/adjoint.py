@@ -38,8 +38,12 @@ adjoint ``ct_j = h_opp(j)``; equilibrium in/outflow replacements are
 constant in f, so their adjoint is zero; frozen populations
 (``no_streaming_mask``) re-route the cotangent as a static pre-shifted
 mask pair. Everything the forward kernel's mask pipeline supports
-(reference ``_simulation.py:177-189``) is covered except the hybrid
-outlet fix-up and ghost-image padding, which fall back to the jnp vjp.
+(reference ``_simulation.py:177-189``) is covered; the hybrid outlet
+fix-up and ghost-image padding compose around this kernel (see
+``build_fused_step``). Collisions whose jacobian has no closed-form
+fragment here (KBC, analytic-moment MRT, forcing) run the SPLIT mode:
+streaming transpose in-kernel + a pointwise ``jax.vjp`` of the
+pre-streaming map (``build_prestream``).
 
 Memory traffic is 3q fields (read g with halos, read f, write ct) vs the
 forward's 2q — the backward runs at ~2/3 forward kernel speed instead of
@@ -680,28 +684,84 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
     return out.reshape(g.shape)
 
 
+def build_prestream(simulation, params, ncm):
+    """The kernel's pointwise pre-streaming map as a jnp function:
+    ``fpost(f) = boundary-composed collision``, mirroring the fused
+    kernel's per-q pipeline (collide on fluid nodes, bounce-back from
+    the RAW f's opposite, constant equilibrium replacements, identity
+    on unclaimed masked nodes — i.e. hybrid-outlet nodes, which the
+    kernel leaves frozen). Used by the SPLIT adjoint: collisions whose
+    jacobian has no closed-form fragment (KBC's entropic stabiliser,
+    analytic-moment MRT, velocity-dependent forcing) transpose as
+    ``P^T . S^T`` — the streaming transpose runs the adjoint kernel
+    with the ("none",) spec, then this map's ``jax.vjp`` applies the
+    pointwise collision/boundary jacobian (elementwise, XLA-fused:
+    no per-q rolls materialise, unlike the full jnp-step vjp)."""
+    flow = simulation.flow
+    collision = simulation.collision
+    opposite = np.asarray(params["opposite"])
+    boundary_kinds = params["boundary_kinds"]
+    feq_boundary = params["feq_boundary"]
+    feq_field = params.get("feq_field")
+
+    def prestream(f):
+        fpost = collision(flow.view(f))
+        if ncm is not None:
+            fpost = jnp.where(ncm == 0, fpost, f)
+        for kind, index in boundary_kinds:
+            if kind == "bounce_back":
+                repl = f[opposite]
+            elif kind == "equilibrium_pu":
+                vals = jnp.asarray(feq_boundary[index - 1],
+                                   dtype=f.dtype)
+                repl = vals.reshape((-1,) + (1,) * (f.ndim - 1))
+            else:  # equilibrium_pu_field — constant in f
+                repl = jnp.asarray(feq_field, dtype=f.dtype)
+            fpost = jnp.where(ncm == index, repl, fpost)
+        return fpost
+
+    return prestream
+
+
 def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
                        minor_fold=None, residual_u=None):
     """Closure ``adj(residual, ct) -> ct_f`` for ``build_fused_step``'s
     backward rule, or raise NotImplementedError when this configuration
-    must fall back to the jnp vjp (unsupported collisions and hybrid
-    outlets are excluded by the caller). ``adj.residual`` names what
-    the forward must save: ``"u"`` (the kernel's emitted pre-collision
-    velocity) for BGK/TRT, ``None`` for NoCollision. ``shape`` is the
-    grid the adjoint runs on — the PADDED shape under ghost-image
-    padding (``ncm``/``nsm`` must then be the padded masks; the caller
-    composes the fold/zero-pad transposes around this kernel).
-    ``residual_u=False`` forces the full state f as the residual (the
-    hybrid-outlet backward stores f anyway for the window-replay vjp,
-    so the d-field emitted-u residual would only add memory)."""
-    spec = adjoint_collision_spec(params)
+    must fall back to the jnp vjp (hybrid outlets are excluded by the
+    caller). ``adj.residual`` names what the forward must save: ``"u"``
+    (the kernel's emitted pre-collision velocity) for BGK/TRT, ``None``
+    for NoCollision. ``shape`` is the grid the adjoint runs on — the
+    PADDED shape under ghost-image padding (``ncm``/``nsm`` must then
+    be the padded masks; the caller composes the fold/zero-pad
+    transposes around this kernel). ``residual_u=False`` forces the
+    full state f as the residual (the hybrid-outlet backward stores f
+    anyway for the window-replay vjp, so the d-field emitted-u residual
+    would only add memory).
+
+    Collisions without a closed-form jacobian fragment (KBC,
+    analytic-moment MRT, forcing) take the SPLIT mode: the streaming
+    transpose S^T runs the adjoint kernel with the ("none",) spec (nsm
+    re-routing included, boundary routing excluded), then the pointwise
+    pre-streaming map's ``jax.vjp`` applies P^T. Two memory-bound
+    passes instead of one, still far from the full jnp-step vjp's
+    per-q roll materialisation. Both folds under ghost-image padding
+    commute with P^T (image cells replicate their sources' physics, so
+    the pointwise jacobian is identical at image and source), so the
+    minor fold stays in-kernel and the leading fold stays outside."""
+    try:
+        spec = adjoint_collision_spec(params)
+        prestream = None
+    except NotImplementedError:
+        spec = ("none",)
+        prestream = build_prestream(simulation, params, ncm)
     nsm_np = None
     if nsm is not None:
         nsm_np = np.asarray(nsm)
 
     kw = dict(e=params["e"], w=params["w"], opposite=params["opposite"],
               cs=params["cs"], spec=spec,
-              boundary_kinds=params["boundary_kinds"],
+              boundary_kinds=(() if prestream is not None
+                              else params["boundary_kinds"]),
               vmem_limit_mb=params.get("vmem_limit_mb"),
               block_target=params.get("block_target", (16, 32)),
               yhalo_rows=params.get("yhalo_rows"),
@@ -712,6 +772,8 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
                           else (residual_u and spec[0] != "smag")),
               minor_fold=minor_fold,
               interpret=params["interpret"])
+    if prestream is not None:
+        kw["residual_u"] = False
     # fail at build time, not first-backward time, if the plan is bad
     if shape is None:
         shape = tuple(simulation.flow.resolution)
@@ -720,9 +782,20 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
                 block_target=kw["block_target"],
                 yhalo_rows=kw["yhalo_rows"])
 
+    if prestream is not None:
+        def adj(res, ct):
+            h = fused_adjoint(None, ct, no_collision_mask=None,
+                              no_streaming_mask=nsm_np, **kw)
+            _, vjp = jax.vjp(prestream, res)
+            return vjp(h)[0]
+        adj.residual = "f"
+        adj.mode = "split"
+        return adj
+
     def adj(res, ct):
         return fused_adjoint(res, ct, no_collision_mask=ncm,
                              no_streaming_mask=nsm_np, **kw)
     adj.residual = ("u" if kw["residual_u"] else
                     ("f" if spec[0] != "none" else None))
+    adj.mode = "full"
     return adj

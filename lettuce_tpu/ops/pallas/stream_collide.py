@@ -1909,6 +1909,7 @@ def build_fused_step(simulation: "Simulation", dev_storage: bool = False):
 
     stepped.pad_codec = padding.codec() if padding is not None else None
     stepped.adjoint_kernel = adjoint is not None
+    stepped.adjoint_mode = getattr(adjoint, "mode", None)
     return stepped
 
 

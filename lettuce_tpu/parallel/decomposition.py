@@ -346,6 +346,8 @@ class DomainDecomposition:
             #     at all).
             # --------------------------------------------------------------
             from ..ops.pallas.adjoint import fused_adjoint
+            adjoint_kw = dict(adjoint_kw)
+            adjoint_split = adjoint_kw.pop("split", False)
 
             def local_bwd(f, ct, ncm_l, nsm_l, nsm_s_l, feq_l):
                 psel = [slice(None)] * d
@@ -390,10 +392,24 @@ class DomainDecomposition:
                                                  axis=rest_axes)
                         own_last[qi] = kept
 
-                ct_f = fused_adjoint(
-                    f, ct_k, no_collision_mask=ncm_l,
-                    no_streaming_mask=nsm_l,
-                    no_streaming_shifted=nsm_s_l, **adjoint_kw)
+                if adjoint_split:
+                    # split transpose P^T . S^T: the ("none",)-spec
+                    # adjoint kernel is the exact streaming transpose
+                    # (nsm re-routing included), then collide_local's
+                    # pointwise jacobian — identical per shard because
+                    # collision and mask-coded boundaries are pointwise
+                    h = fused_adjoint(
+                        None, ct_k, no_collision_mask=None,
+                        no_streaming_mask=nsm_l,
+                        no_streaming_shifted=nsm_s_l, **adjoint_kw)
+                    _, vjp_pre = jax.vjp(
+                        lambda ff: collide_local(ff, ncm_l, feq_l), f)
+                    ct_f = vjp_pre(h.astype(f.dtype))[0]
+                else:
+                    ct_f = fused_adjoint(
+                        f, ct_k, no_collision_mask=ncm_l,
+                        no_streaming_mask=nsm_l,
+                        no_streaming_shifted=nsm_s_l, **adjoint_kw)
 
                 # transpose of the two ppermutes (reverse rings), plus the
                 # frozen keeps of my own collided planes
@@ -423,6 +439,7 @@ class DomainDecomposition:
                 return ct_f
 
             step.local_bwd = local_bwd
+            step.adjoint_split = adjoint_split
 
         return step
 
@@ -869,21 +886,30 @@ class DomainDecomposition:
                 adjoint_kw = None
                 if (not hybrid and pad is None and not dev
                         and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
+                    from ..ops.pallas.adjoint import adjoint_collision_spec
                     try:
-                        from ..ops.pallas.adjoint import (
-                            adjoint_collision_spec)
-                        adjoint_kw = dict(
-                            e=params["e"], w=params["w"],
-                            opposite=params["opposite"], cs=params["cs"],
-                            spec=adjoint_collision_spec(params),
-                            boundary_kinds=params["boundary_kinds"],
-                            vmem_limit_mb=params.get("vmem_limit_mb"),
-                            block_target=params.get("block_target",
-                                                    (16, 32)),
-                            yhalo_rows=params.get("yhalo_rows"),
-                            interpret=params["interpret"])
+                        a_spec = adjoint_collision_spec(params)
+                        a_kinds = params["boundary_kinds"]
+                        a_split = False
                     except NotImplementedError:
-                        adjoint_kw = None
+                        # SPLIT mode (KBC / analytic-moment MRT /
+                        # forcing): streaming transpose in-kernel, then
+                        # the pointwise collide_local jacobian via
+                        # jax.vjp inside local_bwd
+                        a_spec = ("none",)
+                        a_kinds = ()
+                        a_split = True
+                    adjoint_kw = dict(
+                        e=params["e"], w=params["w"],
+                        opposite=params["opposite"], cs=params["cs"],
+                        spec=a_spec,
+                        boundary_kinds=a_kinds,
+                        vmem_limit_mb=params.get("vmem_limit_mb"),
+                        block_target=params.get("block_target",
+                                                (16, 32)),
+                        yhalo_rows=params.get("yhalo_rows"),
+                        interpret=params["interpret"],
+                        split=a_split)
                 native_step = self._native_local_step(
                     simulation, params, self.axis_names[0],
                     self.mesh_shape[0], pernode=pernode, dev=dev,
@@ -1011,6 +1037,10 @@ class DomainDecomposition:
                 def step(f):
                     return vstep(f)
                 step.adjoint_kernel = True
+                step.adjoint_mode = ("split"
+                                     if getattr(native_step,
+                                                "adjoint_split", False)
+                                     else "full")
             else:
                 # reverse-mode differentiability: pallas_call has no
                 # autodiff rule, so pull the cotangent through the

@@ -24,12 +24,14 @@ def _ctx(dtype="float64"):
     return lt.Context(device="cpu", dtype=dtype, use_native=True)
 
 
-def _grad_both(flow, collision, steps=3, expect_adjoint=True):
+def _grad_both(flow, collision, steps=3, expect_adjoint=True, mode=None):
     """Gradient of a rollout loss through the kernel step (adjoint
     kernel backward) and through the jnp step (jax autodiff)."""
     sim = lt.Simulation(flow, collision, [])
     assert sim._step_kind == "pallas"
     assert getattr(sim._step, "adjoint_kernel", None) is expect_adjoint
+    if mode is not None:
+        assert getattr(sim._step, "adjoint_mode", None) == mode
     jnp_step = sim._build_jnp_step()
     kernel_step = sim.make_step_fn()  # pad-codec-aware public step
 
@@ -180,15 +182,16 @@ def test_adjoint_mrt_dhumieres():
     _assert_close(g_k, g_j, 1e-11)
 
 
-def test_adjoint_mrt_analytic_meq_falls_back():
+def test_adjoint_mrt_analytic_meq_split():
     """Analytic-moment MRT relaxes toward meq(rho, j) — a different
-    equilibrium jacobian; it stays differentiable via the jnp vjp."""
+    equilibrium jacobian with no closed-form fragment; it takes the
+    SPLIT adjoint (streaming transpose in-kernel + pointwise vjp)."""
     flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
     transform = lt.D2Q9Lallemand(flow.stencil, flow.context)
     g_k, g_j = _grad_both(
         flow, lt.MRTCollision(transform, [1.1] * 9, flow.context),
-        expect_adjoint=False)
+        mode="split")
     _assert_close(g_k, g_j, 1e-12)
 
 
@@ -211,14 +214,62 @@ def test_adjoint_regularized_3d_masked():
     _assert_close(g_k, g_j, 1e-11)
 
 
-def test_adjoint_falls_back_for_unsupported_collision():
-    """KBC's entropic stabiliser has no adjoint fragment; the step stays
-    differentiable via the jnp vjp and the flag reports it."""
+def test_adjoint_split_kbc_2d():
+    """KBC's entropic stabiliser has no closed-form jacobian fragment;
+    the SPLIT adjoint transposes the streaming in-kernel and applies the
+    pointwise collision jacobian via jax.vjp of the pre-streaming map."""
     flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
                                 stencil=lt.D2Q9(), initialize_fneq=False)
-    g_k, g_j = _grad_both(flow, lt.KBCCollision2D(
-        flow.units.relaxation_parameter_lu), expect_adjoint=False)
+    g_k, g_j = _grad_both(flow, lt.KBCCollision(
+        flow.units.relaxation_parameter_lu), mode="split")
     _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_split_kbc_3d():
+    flow = lt.TaylorGreenVortex(_ctx(), [8, 8, 128], 100, 0.05,
+                                stencil=lt.D3Q27(), initialize_fneq=False)
+    g_k, g_j = _grad_both(flow, lt.KBCCollision(
+        flow.units.relaxation_parameter_lu), steps=2, mode="split")
+    _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_split_guo_force():
+    """Velocity-dependent forcing makes the collision jacobian depend on
+    the Guo source term: covered by the split adjoint's pointwise vjp."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    force = lt.Guo(flow, tau=0.8, acceleration=[1e-4, 0.0])
+    g_k, g_j = _grad_both(flow, lt.BGKCollision(0.8, force=force),
+                          mode="split")
+    _assert_close(g_k, g_j, 1e-12)
+
+
+def test_adjoint_split_kbc_masked():
+    """Split adjoint + bounce-back boundary routing (carried by the
+    pointwise map's vjp). The state is perturbed off equilibrium: AT
+    exact equilibrium KBC's safe-division guard makes the jacobian a
+    subgradient choice that is sensitive to roundoff-level trajectory
+    differences between the kernel and jnp forwards."""
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = True
+    ctx = _ctx()
+    flow = TestFlow(ctx, resolution=[16, 128], stencil=lt.D2Q9(),
+                    boundaries=[lt.BounceBackBoundary(mask)])
+    rng = np.random.RandomState(0)
+    flow.f = flow.f * (1.0 + 0.01 * jnp.asarray(rng.rand(*flow.f.shape)))
+    g_k, g_j = _grad_both(flow, lt.KBCCollision(0.8), mode="split")
+    _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_split_kbc_padded():
+    """Split adjoint composes with ghost-image padding: the in-kernel
+    minor fold commutes with the pointwise jacobian transpose (image
+    cells replicate their sources' physics)."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 100], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    g_k, g_j = _grad_both(flow, lt.KBCCollision(
+        flow.units.relaxation_parameter_lu), steps=2, mode="split")
+    _assert_close(g_k, g_j, 1e-11)
 
 
 def test_adjoint_smagorinsky_2d():

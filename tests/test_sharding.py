@@ -1104,6 +1104,38 @@ def test_sharded_adjoint_trt_f64():
                                atol=1e-12 * scale)
 
 
+def test_sharded_adjoint_kbc_split_f64():
+    """KBC's entropic stabiliser has no closed-form jacobian fragment:
+    the sharded backward runs the SPLIT adjoint per shard — the
+    ("none",)-spec streaming-transpose kernel plus a pointwise
+    ``collide_local`` vjp — with the same transposed edge exchange."""
+    grads = {}
+    for use_native in (False, True):
+        ctx = lt.Context(dtype=jnp.float64, use_native=use_native)
+        flow = lt.TaylorGreenVortex(ctx, [64, 128], 100, 0.05,
+                                    stencil=lt.D2Q9(),
+                                    initialize_fneq=False)
+        decomp = lt.DomainDecomposition(mesh_shape=(8,), grid_axes=(0,))
+        sim = lt.Simulation(flow, lt.KBCCollision(
+            flow.units.relaxation_parameter_lu), [],
+            decomposition=decomp)
+        if use_native:
+            assert getattr(sim._step, "adjoint_kernel", False)
+            assert getattr(sim._step, "adjoint_mode", None) == "split"
+        step = sim.make_step_fn()
+
+        def loss(f, step=step, view=flow.view):
+            for _ in range(2):
+                f = step(f)
+            return jnp.sum(view(f).incompressible_energy())
+
+        grads[use_native] = np.asarray(jax.grad(loss)(flow.f))
+
+    scale = float(np.abs(grads[False]).max())
+    np.testing.assert_allclose(grads[True], grads[False],
+                               atol=1e-12 * scale)
+
+
 def test_sharded_adjoint_smagorinsky_f64():
     """Smagorinsky's per-cell tau_eff(f) adjoint is pointwise, so it
     shards transparently: the per-shard adjoint kernel computes the
