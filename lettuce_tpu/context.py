@@ -55,6 +55,13 @@ class Context:
         if dtype == jnp.dtype("float64"):
             _enable_x64()
 
+        # arrays are COMMITTED to self.device only when the user pinned
+        # one explicitly (the reference's `-i/--gpu-id` semantics);
+        # otherwise factories return uncommitted arrays, so the same
+        # Context composes with multi-device meshes (committed
+        # single-device constants inside a shard_mapped closure raise
+        # "incompatible devices" under jax.vjp)
+        self.device_pinned = device is not None
         if device is None:
             self.device = jax.devices()[0]
         elif isinstance(device, str):
@@ -68,6 +75,10 @@ class Context:
         self.dtype = dtype
         self.use_native = use_native
 
+    def _put(self, array: jax.Array) -> jax.Array:
+        return (jax.device_put(array, self.device) if self.device_pinned
+                else array)
+
     @property
     def platform(self) -> str:
         return self.device.platform
@@ -80,14 +91,10 @@ class Context:
         return self.zero_tensor(size, dtype=dtype)
 
     def zero_tensor(self, size: Sequence[int], dtype=None) -> jax.Array:
-        return jax.device_put(jnp.zeros(tuple(size),
-                                        dtype=self._resolve(dtype)),
-                              self.device)
+        return self._put(jnp.zeros(tuple(size), dtype=self._resolve(dtype)))
 
     def one_tensor(self, size: Sequence[int], dtype=None) -> jax.Array:
-        return jax.device_put(jnp.ones(tuple(size),
-                                       dtype=self._resolve(dtype)),
-                              self.device)
+        return self._put(jnp.ones(tuple(size), dtype=self._resolve(dtype)))
 
     def convert_to_tensor(self, array, dtype=None) -> jax.Array:
         """Convert to a device array.
@@ -102,9 +109,8 @@ class Context:
                 dtype = a.dtype
             else:
                 dtype = self.dtype
-            return jax.device_put(jnp.asarray(a, dtype=dtype), self.device)
-        return jax.device_put(jnp.asarray(array, dtype=self._resolve(dtype)),
-                              self.device)
+            return self._put(jnp.asarray(a, dtype=dtype))
+        return self._put(jnp.asarray(array, dtype=self._resolve(dtype)))
 
     @staticmethod
     def convert_to_ndarray(tensor) -> np.ndarray:

@@ -130,7 +130,9 @@ class MRTCollision(Collision):
     def __call__(self, flow: "Flow") -> jax.Array:
         m = self.transform.transform(flow.f)
         meq = self.transform.equilibrium(m, flow)
-        s_inv = 1 / self.relaxation_parameters
+        # cast to the state dtype: under jax x64 a strongly-typed f64
+        # parameter vector would silently promote f32 state to f64
+        s_inv = (1 / self.relaxation_parameters).astype(m.dtype)
         m = m - s_inv.reshape((-1,) + (1,) * (m.ndim - 1)) * (m - meq)
         return self.transform.inverse_transform(m)
 

@@ -26,7 +26,9 @@ class Stencil:
     e: np.ndarray          # [q, d] int64
     w: np.ndarray          # [q] float64
     opposite: np.ndarray   # [q] int64
-    cs: float = 1.0 / np.sqrt(3.0)
+    # python float, NOT np.float64: a NumPy scalar is strongly
+    # typed under jax x64 and silently promotes f32 state to f64
+    cs: float = float(1.0 / np.sqrt(3.0))
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
@@ -100,7 +102,9 @@ class JaxStencil:
     ``_stencil.py:28-47``). ``e``/``w`` carry the context dtype so runtime
     contractions stay in the simulation precision."""
 
-    cs: float = 1.0 / np.sqrt(3.0)
+    # python float, NOT np.float64: a NumPy scalar is strongly
+    # typed under jax x64 and silently promotes f32 state to f64
+    cs: float = float(1.0 / np.sqrt(3.0))
 
     def __init__(self, stencil: Stencil, context: "Context"):
         import jax.numpy as jnp

@@ -43,10 +43,10 @@ class UnitConversion:
     def __init__(self, reynolds_number, mach_number=0.05,
                  characteristic_length_pu=1, characteristic_velocity_pu=1,
                  characteristic_length_lu=1, characteristic_density_lu=1,
-                 characteristic_density_pu=1, cs=1 / np.sqrt(3.0)):
+                 characteristic_density_pu=1, cs=float(1 / np.sqrt(3.0))):
         self.reynolds_number = reynolds_number
         self.mach_number = mach_number
-        self.cs = cs
+        self.cs = float(cs)
         self.characteristic_length_pu = characteristic_length_pu
         self.characteristic_velocity_pu = characteristic_velocity_pu
         self.characteristic_length_lu = characteristic_length_lu
@@ -67,7 +67,9 @@ class UnitConversion:
         if c:
             fac = fac * (self.characteristic_density_pu
                          / self.characteristic_density_lu) ** c
-        return fac
+        # python float, NOT np.float64: a NumPy scalar is strongly typed
+        # under jax x64 and would silently promote f32 state to f64
+        return float(fac)
 
     def _to_pu(self, value, quantity: str):
         return value * self._factor(quantity)
