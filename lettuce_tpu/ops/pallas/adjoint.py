@@ -63,9 +63,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stream_collide import (LANES, _halo_specs, _minor_fold, _moments,
-                             _roll_minor, _store_parts, _RollMasks,
-                             build_pair_apply, plan_blocks)
+from .stream_collide import (LANES, _I0, _halo_specs, _minor_fold,
+                             _moments, _roll_minor, _store_parts,
+                             _RollMasks, build_pair_apply, plan_blocks)
 
 __all__ = ["fused_adjoint", "build_adjoint_step", "adjoint_collision_spec"]
 
@@ -610,16 +610,16 @@ def fused_adjoint(f: jax.Array, g: jax.Array, e: np.ndarray, w: np.ndarray,
         grid = (shape[0] // bx,)
         merged_shape = (q, shape[0], S, LANES)
         out_block = (q, bx, S, LANES)
-        out_index = lambda i: (0, i, 0, 0)
-        mask_index = lambda i: (i, 0, 0)
+        out_index = lambda i: (_I0, i, _I0, _I0)
+        mask_index = lambda i: (i, _I0, _I0)
     else:
         YS = shape[1] * S
         bys = by * S
         grid = (shape[0] // bx, shape[1] // by)
         merged_shape = (q, shape[0], YS, LANES)
         out_block = (q, bx, bys, LANES)
-        out_index = lambda i, j: (0, i, j, 0)
-        mask_index = lambda i, j: (i, j, 0)
+        out_index = lambda i, j: (_I0, i, j, _I0)
+        mask_index = lambda i, j: (i, j, _I0)
 
     has_ncm = no_collision_mask is not None
     has_nsm = no_streaming_mask is not None

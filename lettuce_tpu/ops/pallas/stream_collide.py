@@ -54,6 +54,9 @@ __all__ = ["build_fused_step", "build_fused_multi_step",
            "gate_fused_params", "fused_stream_collide"]
 
 LANES = 128
+# strong-i32 zero for BlockSpec index-map returns: a python-int literal
+# traces as i64 under jax x64 inside shard_map, which Mosaic rejects
+_I0 = np.int32(0)
 YHALO = 8  # merged-axis halo depth in rows (tile-aligned); S rows are used
 
 
@@ -278,7 +281,11 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
     whole blocks.
     """
     q_dims = (lead_q,) if lead_q else ()
-    q_zeros = (0,) if lead_q else ()
+    # index-map constants MUST be strong i32: under jax x64 a python-int
+    # literal traces as i64 inside shard_map, and Mosaic's transform-func
+    # lowering rejects a mixed (i64, i32, ...) func.return
+    # (observed: "failed to legalize operation 'func.return'" on v5e)
+    q_zeros = (_I0,) if lead_q else ()
 
     def xb(dx):
         # block index along x for offset dx in {-1, 0, 1}
@@ -301,7 +308,7 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
         for dx in (-1, 0, 1):
             xi, xs = xb(dx)
             shape = q_dims + (xs, YS, LANES)
-            index = (lambda xi: lambda i: q_zeros + (xi(i), 0, 0))(xi)
+            index = (lambda xi: lambda i: q_zeros + (xi(i), _I0, _I0))(xi)
             specs.append(pl.BlockSpec(shape, index,
                                       memory_space=pltpu.VMEM))
         return specs
@@ -324,7 +331,7 @@ def _halo_specs(X: int, YS: int, bx: int, bys: Optional[int],
             mi, ms = mb(dm)
             shape = q_dims + (xs, ms, LANES)
             index = (lambda xi, mi: lambda i, j:
-                     q_zeros + (xi(i), mi(j), 0))(xi, mi)
+                     q_zeros + (xi(i), mi(j), _I0))(xi, mi)
             specs.append(pl.BlockSpec(shape, index,
                                       memory_space=pltpu.VMEM))
     return specs
@@ -580,7 +587,33 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
                     else read(qi) - sp + sm)
         return fpost_trt
 
-    if kind in ("reg", "smag"):
+    if kind == "reg":
+        # folded static projection (same fold the adjoint kernel uses,
+        # ops/pallas/adjoint.py:95-106): f' = feq + (1 - 1/tau) P fneq
+        # = f - C (f - feq) with C = I - (1 - 1/tau) P and
+        # P_ij = w_i ((e_i.e_j)^2 - cs2 |e_j|^2) / (2 cs4). One static
+        # q x q matvec HALVED by opposite-pair parity (P is even under
+        # e -> -e on both indices, so build_pair_apply splits it) —
+        # replacing the Pi-tensor + per-direction re-projection form,
+        # which kept d(d+1)/2 slab values live and ran compute-bound
+        # 2692 MLUPS at D3Q27 256^3. MRT's identical fold measured
+        # 1727 -> 4387. Shift-invariant in f (works on f - feq), so it
+        # composes with deviation storage as-is.
+        tau = spec[1]
+        e_f = np.asarray(e, dtype=np.float64)
+        w_f = np.asarray(w, dtype=np.float64)
+        G = e_f @ e_f.T
+        P = ((G * G - cs2 * (e_f * e_f).sum(axis=1)[None, :])
+             * (w_f[:, None] / (2.0 * cs2 * cs2)))
+        C_np = np.eye(q) - (1.0 - 1.0 / float(tau)) * P
+        apply_C = build_pair_apply(C_np, opposite)
+        cdf = apply_C([read(qi) - feq_raw(qi) for qi in range(q)])
+
+        def fpost_reg(qi):
+            return read(qi) - (cdf[qi] if cdf[qi] is not None else 0.0)
+        return fpost_reg
+
+    if kind == "smag":
         tau = spec[1]
         # Pi_neq_ab = sum_q e_a e_b (f_q - feq_q), symmetric d x d
         pairs = [(a, b) for a in range(d) for b in range(a, d)]
@@ -597,37 +630,6 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
             for p, c in coeffs.items():
                 term = fneq if c == 1 else -fneq
                 Pi[p] = term if Pi[p] is None else Pi[p] + term
-
-        if kind == "reg":
-            fac = 1.0 - 1.0 / tau
-            inv2cs4 = 0.5 / (cs2 * cs2)
-            proj_cache = {}
-
-            def fpost_reg(qi):
-                # Q_q : Pi_neq with Q = e e - cs2 I (static coefficients).
-                # Q is EVEN under e -> -e, so opposite directions share
-                # the whole projection (and the weight): cache per
-                # canonical direction, halving the dominant matvec
-                key = canonical(qi)
-                fi1 = proj_cache.get(key)
-                if fi1 is None:
-                    acc = None
-                    for (a, b) in pairs:
-                        if Pi[(a, b)] is None:
-                            continue
-                        coef = float(e[qi, a]) * float(e[qi, b])
-                        if a == b:
-                            coef -= cs2
-                        else:
-                            coef *= 2.0  # symmetric off-diagonals
-                        if coef == 0.0:
-                            continue
-                        term = Pi[(a, b)] * coef
-                        acc = term if acc is None else acc + term
-                    fi1 = (float(w[qi]) * inv2cs4 * fac) * acc
-                    proj_cache[key] = fi1
-                return feq_raw(qi) + fi1
-            return fpost_reg
 
         # smagorinsky: effective tau field by 2-step fixed point
         _, tau, const = spec
@@ -1413,14 +1415,14 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         grid = (shape[0] // bx,)
         merged_shape = (q, shape[0], S, LANES)
         out_block = (q, bx, S, LANES)
-        out_index = lambda i: (0, i, 0, 0)
+        out_index = lambda i: (_I0, i, _I0, _I0)
     else:
         YS = shape[1] * S
         bys = by * S
         grid = (shape[0] // bx, shape[1] // by)
         merged_shape = (q, shape[0], YS, LANES)
         out_block = (q, bx, bys, LANES)
-        out_index = lambda i, j: (0, i, j, 0)
+        out_index = lambda i, j: (_I0, i, j, _I0)
 
     f_packed = f.reshape(merged_shape)
 
@@ -1674,6 +1676,11 @@ def gate_fused_params(simulation: "Simulation",
         # VMEM at the default block — the compile helper dies; a
         # quarter-size block fits
         params["block_target"] = (8, 16)
+    import os as _os
+    bt_env = _os.environ.get("LETTUCE_BLOCK_TARGET")
+    if bt_env:  # benchmark sweeps (see benchmarks/sweep_kernel.py)
+        params["block_target"] = tuple(
+            int(v) for v in bt_env.split(","))[:2]
     # padding plan: None for kernel-splittable grids; otherwise the plan
     # that makes the grid splittable via ghost-image padding (padding.py).
     # Raises NotImplementedError only for unsupported dimensionalities.
