@@ -66,22 +66,33 @@ def _set_window(arr, values, axis: int, lo: int, width: int, n: int,
                 sub=None):
     """Write ``values`` over the periodic window ``[lo, lo+width)``;
     ``sub`` optionally restricts other (ghost-padded) axes of ``arr`` to
-    their true extents (``values`` is true-shaped there)."""
+    their true extents (``values`` is true-shaped there).
+
+    Writes go through ``lax.dynamic_update_slice``, NOT ``.at[...].set``:
+    when ``arr`` is a GSPMD-sharded global array (the sharded kernel
+    paths apply this fix-up outside ``shard_map``), XLA miscompiles a
+    CHAIN of two sliced scatter-sets whose window wraps the periodic
+    edge — the second update lands on the local row 0 of EVERY shard
+    (observed jax 0.9.0, cpu and tpu backends; single sets and DUS
+    chains partition correctly)."""
     lo %= n
-    sel = [slice(None)] * arr.ndim
+    starts = [0] * arr.ndim
     if sub:
         for ax, s in sub.items():
-            sel[ax] = s
+            starts[ax] = int(s.start or 0)
+
+    def put(target, vals, start):
+        st = list(starts)
+        st[axis] = start
+        return jax.lax.dynamic_update_slice(target, vals, tuple(st))
+
     if lo + width <= n:
-        sel[axis] = slice(lo, lo + width)
-        return arr.at[tuple(sel)].set(values)
+        return put(arr, values, lo)
     vsel = [slice(None)] * arr.ndim
-    sel[axis] = slice(lo, n)
     vsel[axis] = slice(0, n - lo)
-    arr = arr.at[tuple(sel)].set(values[tuple(vsel)])
-    sel[axis] = slice(0, lo + width - n)
+    arr = put(arr, values[tuple(vsel)], lo)
     vsel[axis] = slice(n - lo, width)
-    return arr.at[tuple(sel)].set(values[tuple(vsel)])
+    return put(arr, values[tuple(vsel)], 0)
 
 
 def _build_one_fixup(simulation: "Simulation", index_h: int,
