@@ -40,13 +40,15 @@ def make_flow():
 flow = make_flow()
 sim = lt.Simulation(
     flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
-step = sim.make_step_fn()
 
-
-def rollout(f0):
-    def body(_, f):
-        return step(f)
-    return jax.lax.fori_loop(0, STEPS, body, f0)
+# checkpointed rollout: jax.checkpoint chunks (~sqrt(STEPS) steps each)
+# bound the backward pass's residual memory at ~1.5x forward cost —
+# the lever that extends differentiable rollouts ~10x past the
+# store-every-step HBM cap (see docs/differentiability.md; at 256^3 a
+# plain 48-step grad already fills 16 GB, a checkpointed 256-step one
+# fits)
+rollout = sim.make_segment_fn(STEPS,
+                              checkpoint_every=max(2, int(STEPS ** 0.5)))
 
 
 # target: the true TGV initial condition rolled out N steps

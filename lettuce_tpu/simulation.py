@@ -306,7 +306,8 @@ class Simulation:
         p, u = pad
         return lambda f: u(step(p(f)))
 
-    def make_segment_fn(self, num_steps: int):
+    def make_segment_fn(self, num_steps: int,
+                        checkpoint_every: Optional[int] = None):
         """``num_steps`` collide-and-stream steps as one pure,
         reverse-differentiable function on the PUBLIC (unpadded) state —
         the rollout analog of :meth:`make_step_fn` for training loops.
@@ -317,10 +318,42 @@ class Simulation:
         8-step gradient at 256x256x250). The steps run under ``lax.scan``
         with a bounded unroll (scan's per-iteration carry handling costs
         ~1.8x at unroll=1; 8-way recovers the unrolled-loop speed without
-        growing the compiled program with segment length)."""
+        growing the compiled program with segment length).
+
+        ``checkpoint_every=k`` rematerialises the rollout in chunks of
+        ``k`` steps (``jax.checkpoint``): the backward pass stores one
+        state per chunk instead of one residual per step and recomputes
+        each chunk's forward on the fly — residual HBM drops from
+        O(num_steps) to O(num_steps/k + k) at ~1.5x forward cost, which
+        is what extends differentiable rollouts past the plain cap
+        (48 steps at 256^3 on 16 GB). Pick k ~ sqrt(num_steps)
+        (the classic recursive-checkpoint balance).
+        """
         step = self._step
         pad = getattr(step, "pad_codec", None)
         unroll = min(int(num_steps), 8)
+
+        if checkpoint_every is not None:
+            k = max(1, int(checkpoint_every))
+            n_chunks, rem = divmod(int(num_steps), k)
+
+            @jax.checkpoint
+            def chunk(f):
+                return jax.lax.scan(lambda c, _: (step(c), None), f,
+                                    length=k, unroll=min(k, 8))[0]
+
+            def segment(f):
+                if pad is not None:
+                    f = pad[0](f)
+                if n_chunks:
+                    f = jax.lax.scan(lambda c, _: (chunk(c), None), f,
+                                     length=n_chunks)[0]
+                if rem:
+                    f = jax.lax.scan(lambda c, _: (step(c), None), f,
+                                     length=rem, unroll=min(rem, 8))[0]
+                return pad[1](f) if pad is not None else f
+
+            return segment
 
         def segment(f):
             if pad is not None:

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import pytest
 
 import lettuce_tpu as lt
+
+# compile-heavy: adjoint-kernel vs jax.vjp equivalence — excluded from the fast tier (-m "not slow")
+pytestmark = pytest.mark.slow
 from tests.conftest import TestFlow
 
 
@@ -445,3 +448,25 @@ def test_adjoint_padded_mrt_matvec():
     g_k, g_j = _grad_both(
         flow, lt.MRTCollision(transform, taus, flow.context))
     _assert_close(g_k, g_j, 1e-11)
+
+
+def test_adjoint_checkpointed_segment():
+    """make_segment_fn(checkpoint_every=k) rematerialises the rollout in
+    k-step jax.checkpoint chunks (VERDICT r3 item 7): the gradient equals
+    the unsegmented form exactly (recomputation is bitwise), while the
+    backward stores one state per chunk instead of one residual per step."""
+    flow = lt.TaylorGreenVortex(_ctx(), [16, 128], 100, 0.05,
+                                stencil=lt.D2Q9(), initialize_fneq=False)
+    sim = lt.Simulation(
+        flow, lt.BGKCollision(flow.units.relaxation_parameter_lu), [])
+    assert sim._step.adjoint_kernel
+    plain = sim.make_segment_fn(7)
+    ckpt = sim.make_segment_fn(7, checkpoint_every=3)  # 2 chunks + 1 rem
+
+    def loss(seg):
+        return lambda f: jnp.sum(flow.view(seg(f)).incompressible_energy())
+
+    g1 = np.asarray(jax.grad(loss(plain))(flow.f))
+    g2 = np.asarray(jax.grad(loss(ckpt))(flow.f))
+    assert np.all(np.isfinite(g2))
+    _assert_close(g2, g1, 1e-12)
