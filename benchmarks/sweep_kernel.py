@@ -25,15 +25,21 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=128)
-    parser.add_argument("--res", type=int, default=256)
+    parser.add_argument("--res", type=int, default=0)
+    parser.add_argument("--stencil", default="D3Q19",
+                        help="D3Q19 (res 256, 3D sweep) or D2Q9 "
+                             "(res 2048, deep-blocking 2D sweep)")
     args = parser.parse_args()
 
     import lettuce_tpu as lt
     from lettuce_tpu.ops.pallas.stream_collide import fused_stream_collide
 
+    stencil = getattr(lt, args.stencil)()
+    if not args.res:
+        args.res = 256 if stencil.d == 3 else 2048
     ctx = lt.Context(dtype=jnp.float32, use_native=True)
     flow = lt.TaylorGreenVortex(ctx, args.res, 1600, 0.05,
-                                stencil=lt.D3Q19(), initialize_fneq=False)
+                                stencil=stencil, initialize_fneq=False)
     st = flow.stencil
     e = np.asarray(st.e)
     w = np.asarray(st.w)
@@ -41,7 +47,7 @@ def main():
     cs = float(st.cs)
     tau_inv = float(1.0 / flow.units.relaxation_parameter_lu)
     n_cells = float(np.prod(flow.resolution))
-    w_b = jnp.asarray(w.reshape((-1, 1, 1, 1)), jnp.float32)
+    w_b = jnp.asarray(w.reshape((-1,) + (1,) * stencil.d), jnp.float32)
 
     UNROLL = 32
 
@@ -83,20 +89,43 @@ def main():
             return f"FAIL {type(exc).__name__}: {str(exc)[:80]}"
         return f"{iters * steps_per_iter * n_cells / 1e6 / dt:8.1f} MLUPS"
 
-    CONFIGS = [
-        # (dev, n_sub, block_target, vmem, yhalo_rows)
-        (False, 4, (16, 32), 100, None),   # round-2 default (baseline)
-        (False, 4, (16, 64), 100, None),
-        (False, 4, (8, 32), 100, None),
-        (False, 8, (16, 32), 100, 16),     # deeper blocking via yhalo=16
-        (False, 8, (16, 32), 128, 16),
-        (False, 8, (16, 16), 100, 16),
-        (False, 8, (8, 32), 100, 16),
-        (True, 2, (16, 32), 100, None),    # bf16-dev default
-        (True, 2, (16, 64), 100, None),
-        (True, 2, (16, 32), 100, 8),       # shallower bf16 halo
-        (True, 4, (16, 32), 100, 8),
-    ]
+    if stencil.d == 3:
+        CONFIGS = [
+            # (dev, n_sub, block_target, vmem, yhalo_rows)
+            (False, 4, (16, 32), 100, None),   # round-2 default (baseline)
+            (False, 4, (16, 64), 100, None),
+            (False, 4, (8, 32), 100, None),
+            (False, 8, (16, 32), 100, 16),     # deeper blocking via yhalo=16
+            (False, 8, (16, 32), 128, 16),
+            (False, 8, (16, 16), 100, 16),
+            (False, 8, (8, 32), 100, 16),
+            (True, 2, (16, 32), 100, None),    # bf16-dev default
+            (True, 2, (16, 64), 100, None),
+            (True, 2, (16, 32), 100, 8),       # shallower bf16 halo
+            (True, 4, (16, 32), 100, 8),
+        ]
+    else:
+        # 2D: the minor axis is merged (S, LANES) with EXACT rolls — no
+        # y-halo constraint, so blocking depth is bounded only by
+        # bx % n_sub == 0 and the x-halo growth (2*n_sub planes per
+        # block). Sweep deep n_sub: halo traffic grows linearly while
+        # HBM traffic per step keeps dropping ~n_sub-fold.
+        CONFIGS = [
+            # (dev, n_sub, block_target, vmem, yhalo_rows)
+            (False, 4, (16, 32), 100, None),   # round-3 default
+            (False, 8, (16, 32), 100, None),
+            (False, 8, (32, 32), 100, None),
+            (False, 12, (24, 32), 100, None),
+            (False, 16, (32, 32), 100, None),
+            (False, 16, (32, 32), 128, None),
+            (False, 16, (16, 32), 100, None),
+            (False, 24, (24, 32), 128, None),
+            (False, 32, (32, 32), 128, None),
+            (True, 2, (16, 32), 100, None),    # bf16-dev default
+            (True, 4, (16, 32), 100, None),
+            (True, 8, (16, 32), 100, None),
+            (True, 16, (32, 32), 128, None),
+        ]
     for dev, n_sub, bt, vmem, yh in CONFIGS:
         tag = "bf16-dev" if dev else "f32"
         print(f"{tag:9s} n_sub={n_sub} bt={bt!s:9s} vmem={vmem:3d} "

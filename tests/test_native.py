@@ -11,6 +11,9 @@ import numpy as np
 import pytest
 
 import lettuce_tpu as lt
+
+# compile-heavy: pallas-vs-jnp equivalence, interpret mode on CPU — excluded from the fast tier (-m "not slow")
+pytestmark = pytest.mark.slow
 from tests.conftest import TestFlow, DummyFlow
 
 
@@ -211,6 +214,7 @@ def test_half_storage_kbc():
 @pytest.mark.parametrize("collision_factory,stencil_cls,res", [
     (lambda fl: lt.TRTCollision(0.8, 1.1), lt.D3Q19, [16, 16, 128]),
     (lambda fl: lt.RegularizedCollision(0.8), lt.D3Q19, [16, 16, 128]),
+    (lambda fl: lt.RegularizedCollision(0.8), lt.D3Q27, [8, 8, 128]),
     (lambda fl: lt.SmagorinskyCollision(0.8), lt.D3Q19, [16, 16, 128]),
     (lambda fl: lt.KBCCollision(), lt.D3Q27, [8, 8, 128]),
     (lambda fl: lt.KBCCollision(), lt.D2Q9, [16, 128]),
@@ -223,8 +227,8 @@ def test_half_storage_kbc():
     (lambda fl: lt.BGKCollision(
         0.8, force=lt.Guo(fl, 0.8, [1e-4, 0.0, 5e-5])),
      lt.D3Q19, [16, 16, 128]),
-], ids=["trt-3d", "reg-3d", "smag-3d", "kbc-q27", "kbc-q9", "trt-2d",
-        "guo-2d", "shanchen-2d", "guo-3d"])
+], ids=["trt-3d", "reg-3d", "reg-q27", "smag-3d", "kbc-q27", "kbc-q9",
+        "trt-2d", "guo-2d", "shanchen-2d", "guo-3d"])
 def test_native_collision_fragments(collision_factory, stencil_cls, res):
     """Every collision kernel fragment matches its jnp implementation
     (the north-star requirement: collisions as composable Pallas kernel

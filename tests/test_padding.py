@@ -13,6 +13,9 @@ import numpy as np
 import pytest
 
 import lettuce_tpu as lt
+
+# compile-heavy: ghost-image codec equivalence — excluded from the fast tier (-m "not slow")
+pytestmark = pytest.mark.slow
 from lettuce_tpu.ops.pallas.padding import plan_padding
 from tests.conftest import TestFlow
 
