@@ -76,6 +76,8 @@ class Context:
         self.use_native = use_native
 
     def _put(self, array: jax.Array) -> jax.Array:
+        if isinstance(array, jax.core.Tracer):
+            return array  # placement is the enclosing jit's concern
         return (jax.device_put(array, self.device) if self.device_pinned
                 else array)
 
@@ -103,6 +105,16 @@ class Context:
         reference ``_context.py:83-103``); floats are cast to the context
         dtype unless an explicit dtype is given.
         """
+        if isinstance(array, (jax.Array, jax.core.Tracer)):
+            # already on device (or being traced): never round-trip
+            # through numpy — np.asarray would fetch the buffer to host
+            # (expensive over remote runtimes) and breaks under jit
+            if dtype is None:
+                dtype = (array.dtype if array.dtype.kind in "biu"
+                         else self.dtype)
+            else:
+                dtype = self._resolve(dtype)
+            return self._put(jnp.asarray(array, dtype=dtype))
         if dtype is None:
             a = np.asarray(array)
             if a.dtype.kind in "biu":  # bool / int / uint pass through
