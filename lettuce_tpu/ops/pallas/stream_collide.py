@@ -588,29 +588,57 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         return fpost_trt
 
     if kind == "reg":
-        # folded static projection (same fold the adjoint kernel uses,
-        # ops/pallas/adjoint.py:95-106): f' = feq + (1 - 1/tau) P fneq
-        # = f - C (f - feq) with C = I - (1 - 1/tau) P and
-        # P_ij = w_i ((e_i.e_j)^2 - cs2 |e_j|^2) / (2 cs4). One static
-        # q x q matvec HALVED by opposite-pair parity (P is even under
-        # e -> -e on both indices, so build_pair_apply splits it) —
-        # replacing the Pi-tensor + per-direction re-projection form,
-        # which kept d(d+1)/2 slab values live and ran compute-bound
-        # 2692 MLUPS at D3Q27 256^3. MRT's identical fold measured
-        # 1727 -> 4387. Shift-invariant in f (works on f - feq), so it
-        # composes with deviation storage as-is.
-        tau = spec[1]
+        # rank-d(d+1)/2 moment-space factorisation of the projection
+        # f' = feq + (1 - 1/tau) P fneq (Latt-Chopard, reference
+        # ``regularized_collision.py:8-50``). P = W Q : Q^T / (2 cs4)
+        # factors exactly through the symmetric second-moment space:
+        #   Pi_ab = sum_j e_ja e_jb fneq_j          (raw moments, M1)
+        #   g_i   = k w_i / (2 cs4) * Q_i : Pi       (reconstruct, M2)
+        #   f'_i  = feq_i + g_i
+        # Both matrices are even under e -> -e so everything runs on the
+        # 1 + (q-1)/2 opposite-pair sums and g is shared within a pair.
+        # M1's coefficients are all in {-1, 0, 1} (pure adds). ~175 ops
+        # per cell at q=27 vs ~417 for the dense pair-folded q x q
+        # matvec this replaces (2648 MLUPS at D3Q27 256^3, VPU-bound at
+        # ~1.9 TFLOP/s; the fold itself had replaced a 1901-MLUPS form).
+        kk = 1.0 - 1.0 / float(spec[1])
         e_f = np.asarray(e, dtype=np.float64)
         w_f = np.asarray(w, dtype=np.float64)
-        G = e_f @ e_f.T
-        P = ((G * G - cs2 * (e_f * e_f).sum(axis=1)[None, :])
-             * (w_f[:, None] / (2.0 * cs2 * cs2)))
-        C_np = np.eye(q) - (1.0 - 1.0 / float(tau)) * P
-        apply_C = build_pair_apply(C_np, opposite)
-        cdf = apply_C([read(qi) - feq_raw(qi) for qi in range(q)])
+        selfs = [qi for qi in range(q) if int(opposite[qi]) == qi]
+        prs = [(a, int(opposite[a])) for a in range(q)
+               if a < int(opposite[a])]
+        reps = selfs + [a for a, _ in prs]
+        comps = [(a, b) for a in range(d) for b in range(a, d)]
+        # moments from pair sums; reconstruction back to representatives
+        M1 = np.array([[e_f[r, a] * e_f[r, b] for r in reps]
+                       for (a, b) in comps])
+        M2 = np.array([[(w_f[r] * kk / (2.0 * cs2 * cs2))
+                        * (e_f[r, a] * e_f[r, b] - (cs2 if a == b else 0.0))
+                        * (2.0 if a != b else 1.0)
+                        for (a, b) in comps] for r in reps])
+
+        def sdot(coeffs, vecs):
+            acc = None
+            for c, v in zip(coeffs, vecs):
+                if c == 0.0 or v is None:
+                    continue
+                t = v if c == 1.0 else (-v if c == -1.0 else v * float(c))
+                acc = t if acc is None else acc + t
+            return acc
+
+        fneq = [read(qi) - feq_raw(qi) for qi in range(q)]
+        ue = ([fneq[s] for s in selfs]
+              + [fneq[a] + fneq[b] for a, b in prs])
+        mom = [sdot(M1[ci], ue) for ci in range(len(comps))]
+        g = {}
+        for ri, r in enumerate(reps):
+            g[r] = sdot(M2[ri], mom)
+        for a, b in prs:
+            g[b] = g[a]  # Q is even: the projection output pairs up
 
         def fpost_reg(qi):
-            return read(qi) - (cdf[qi] if cdf[qi] is not None else 0.0)
+            gi = g[qi]
+            return feq_raw(qi) if gi is None else feq_raw(qi) + gi
         return fpost_reg
 
     if kind == "smag":
