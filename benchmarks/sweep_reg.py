@@ -21,7 +21,10 @@ t0 = time.time()
 flow = lt.TaylorGreenVortex(ctx, res, 1600, 0.05, stencil=lt.D3Q27(),
                             initialize_fneq=False)
 print(f"flow built in {time.time()-t0:.0f}s", flush=True)
-f0 = flow.f  # reset state between configs
+# keep the reset state on HOST: the kernel donates its input buffer, so a
+# device-side reference would be deleted after the first config runs
+import numpy as np
+f0 = np.asarray(flow.f)
 
 CONFIGS = [
     # (block_target or None for default, nsub or None for auto)
@@ -41,7 +44,7 @@ for bt, nsub in CONFIGS:
             os.environ.pop(k, None)
         else:
             os.environ[k] = v
-    flow.f = f0
+    flow.f = ctx.convert_to_tensor(f0)
     t0 = time.time()
     try:
         sim = lt.Simulation(
