@@ -14,12 +14,14 @@ exactly that contraction on a realistic kernel slab shape
 All variants read the identical slab from HBM and write the identical
 (n_m, X, R, 128) output, so the time difference is pure compute.
 
-Usage: python benchmarks/micro_moments_mxu.py [nblocks] [iters]
+Usage: python benchmarks/micro_moments_mxu.py [nblocks] [iters] [variants]
+(variants: comma-separated subset of vpu,mxu,mxu2d; default all)
 """
 from __future__ import annotations
 
 import sys
 import os
+from functools import partial
 from timeit import default_timer as timer
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -48,7 +50,8 @@ M_np = np.concatenate([
 NM = M_np.shape[0]
 
 
-def kern_vpu(f_ref, o_ref):
+def kern_vpu(m_ref, f_ref, o_ref):
+    del m_ref
     fs = [f_ref[qi] for qi in range(Q)]
 
     def sdot(row):
@@ -64,27 +67,28 @@ def kern_vpu(f_ref, o_ref):
         o_ref[mi] = sdot(M_np[mi])
 
 
-M_j = jnp.asarray(M_np)
-
-
-def kern_mxu(f_ref, o_ref):
+def kern_mxu(m_ref, f_ref, o_ref):
     o_ref[:] = jax.lax.dot_general(
-        M_j, f_ref[:], (((1,), (0,)), ((), ())),
+        m_ref[:], f_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def kern_mxu2d(f_ref, o_ref):
+def kern_mxu2d(m_ref, f_ref, o_ref):
     for x in range(X):
         rhs = f_ref[:, x].reshape(Q, R * L)
         o_ref[:, x] = jnp.dot(
-            M_j, rhs, preferred_element_type=jnp.float32).reshape(NM, R, L)
+            m_ref[:], rhs, preferred_element_type=jnp.float32
+        ).reshape(NM, R, L)
 
 
 def build(kern):
+    # M enters as a real kernel input with its own (whole-array) BlockSpec
+    # — Pallas TPU rejects closed-over array constants (ADVICE r4).
     return pl.pallas_call(
         kern,
         grid=(NB,),
-        in_specs=[pl.BlockSpec((Q, X, R, L), lambda i: (0, i, 0, 0))],
+        in_specs=[pl.BlockSpec((NM, Q), lambda i: (0, 0)),
+                  pl.BlockSpec((Q, X, R, L), lambda i: (0, i, 0, 0))],
         out_specs=pl.BlockSpec((NM, X, R, L), lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NM, NB * X, R, L), jnp.float32),
     )
@@ -92,12 +96,17 @@ def build(kern):
 
 key = jax.random.PRNGKey(0)
 f = jax.random.uniform(key, (Q, NB * X, R, L), jnp.float32)
+M_dev = jnp.asarray(M_np)
 bytes_moved = (Q + NM) * NB * X * R * L * 4
 
+sel = (sys.argv[3].split(",") if len(sys.argv) > 3
+       else ["vpu", "mxu", "mxu2d"])
 for name, kern in [("vpu", kern_vpu), ("mxu", kern_mxu),
                    ("mxu2d", kern_mxu2d)]:
+    if name not in sel:
+        continue
     try:
-        fn = jax.jit(build(kern))
+        fn = jax.jit(partial(build(kern), M_dev))
         o = fn(f)
         jax.block_until_ready(o)
         _ = float(o.ravel()[0])

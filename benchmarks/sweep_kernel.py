@@ -51,13 +51,14 @@ def main():
 
     UNROLL = 32
 
-    def build(block_target, vmem_mb, dev, n_sub, yhalo=None):
+    def build(block_target, vmem_mb, dev, n_sub, yhalo=None, wide=None):
         def multi(x):
             return fused_stream_collide(
                 x, e, w, opp, cs, tau_inv,
                 collision_spec=("bgk", tau_inv),
                 block_target=block_target, vmem_limit_mb=vmem_mb,
-                dev_storage=dev, n_sub=n_sub, yhalo_rows=yhalo)
+                dev_storage=dev, n_sub=n_sub, yhalo_rows=yhalo,
+                wide_slab=wide)
 
         u = max(1, UNROLL // n_sub)
 
@@ -70,13 +71,13 @@ def main():
             return jax.lax.fori_loop(0, iters, body, x)
         return run, u * n_sub
 
-    def measure(block_target, vmem_mb, dev, n_sub, yhalo=None):
+    def measure(block_target, vmem_mb, dev, n_sub, yhalo=None, wide=None):
         x = flow.f
         if dev:
             x = (x - w_b).astype(jnp.bfloat16)
         try:
             run, steps_per_iter = build(block_target, vmem_mb, dev, n_sub,
-                                        yhalo)
+                                        yhalo, wide)
             y = run(x, 1)  # compile + warm
             _ = float(y.ravel()[0])
             iters = max(1, args.steps // steps_per_iter)
@@ -91,18 +92,17 @@ def main():
 
     if stencil.d == 3:
         CONFIGS = [
-            # (dev, n_sub, block_target, vmem, yhalo_rows)
+            # (dev, n_sub, block_target, vmem, yhalo_rows[, wide_slab])
             (False, 4, (16, 32), 100, None),   # round-2 default (baseline)
-            (False, 4, (16, 64), 100, None),
-            (False, 4, (8, 32), 100, None),
-            (False, 8, (16, 32), 100, 16),     # deeper blocking via yhalo=16
-            (False, 8, (16, 32), 128, 16),
-            (False, 8, (16, 16), 100, 16),
-            (False, 8, (8, 32), 100, 16),
-            (True, 2, (16, 32), 100, None),    # bf16-dev default
-            (True, 2, (16, 64), 100, None),
-            (True, 2, (16, 32), 100, 8),       # shallower bf16 halo
-            (True, 4, (16, 32), 100, 8),
+            (True, 2, (16, 32), 100, 8, False),  # r4 bf16 default (narrow)
+            (True, 2, (16, 32), 100, 8),         # + wide (f32) slabs
+            (True, 4, (16, 32), 100, 8, False),  # deep, narrow slabs
+            (True, 4, (16, 32), 100, 8),         # deep + wide slabs
+            (True, 4, (16, 64), 100, 8),
+            (True, 4, (8, 32), 100, 8),
+            (True, 6, (24, 32), 100, 12),
+            (True, 8, (16, 32), 100, 16),
+            (True, 8, (32, 32), 128, 16),
         ]
     else:
         # 2D: the minor axis is merged (S, LANES) with EXACT rolls — no
@@ -126,10 +126,14 @@ def main():
             (True, 8, (16, 32), 100, None),
             (True, 16, (32, 32), 128, None),
         ]
-    for dev, n_sub, bt, vmem, yh in CONFIGS:
+    for cfg in CONFIGS:
+        dev, n_sub, bt, vmem, yh = cfg[:5]
+        wide = cfg[5] if len(cfg) > 5 else None
         tag = "bf16-dev" if dev else "f32"
+        wtag = {None: "auto", True: "wide", False: "narrow"}[wide]
         print(f"{tag:9s} n_sub={n_sub} bt={bt!s:9s} vmem={vmem:3d} "
-              f"yhalo={yh}  {measure(bt, vmem, dev, n_sub, yh)}",
+              f"yhalo={yh} slab={wtag:6s} "
+              f"{measure(bt, vmem, dev, n_sub, yh, wide)}",
               flush=True)
 
 

@@ -8,6 +8,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
@@ -23,7 +25,6 @@ flow = lt.TaylorGreenVortex(ctx, res, 1600, 0.05, stencil=lt.D3Q27(),
 print(f"flow built in {time.time()-t0:.0f}s", flush=True)
 # keep the reset state on HOST: the kernel donates its input buffer, so a
 # device-side reference would be deleted after the first config runs
-import numpy as np
 f0 = np.asarray(flow.f)
 
 CONFIGS = [
@@ -38,13 +39,16 @@ if len(sys.argv) > 3:
     CONFIGS = [tuple(x if x != "-" else None for x in c.split(":"))
                for c in sys.argv[3].split(";")]
 
+first = True
 for bt, nsub in CONFIGS:
     for k, v in (("LETTUCE_BLOCK_TARGET", bt), ("LETTUCE_NSUB", nsub)):
         if v is None:
             os.environ.pop(k, None)
         else:
             os.environ[k] = v
-    flow.f = ctx.convert_to_tensor(f0)
+    if not first:
+        flow.f = ctx.convert_to_tensor(f0)  # re-upload after donation
+    first = False
     t0 = time.time()
     try:
         sim = lt.Simulation(

@@ -41,6 +41,6 @@ from .utils import (get_subclasses, LettuceException, LettuceWarning,
                     jax_jacobi, torch_jacobi, append_axes,
                     moment_tensor, get_default_moment_transform, Transform,
                     D1Q3Transform, D2Q9Lallemand, D2Q9Dellar, D3Q27Hermite,
-                    D3Q19DHumieres)
+                    D3Q19DHumieres, D3Q27CumulantTransform)
 
 __version__ = "0.1.0"

@@ -3,7 +3,8 @@ from .equilibrium import (QuadraticEquilibrium,
                           IncompressibleQuadraticEquilibrium)
 from .collision import (Collision, BGKCollision, NoCollision, TRTCollision,
                         MRTCollision, RegularizedCollision, KBCCollision,
-                        KBCCollision2D, KBCCollision3D, SmagorinskyCollision)
+                        KBCCollision2D, KBCCollision3D, SmagorinskyCollision,
+                        CumulantCollision)
 from .boundary import (BounceBackBoundary, EquilibriumBoundaryPU,
                        AntiBounceBackOutlet, EquilibriumOutletP,
                        SpongeOutlet, PeriodicPressureBC)
@@ -16,6 +17,7 @@ __all__ = [
     "Collision", "BGKCollision", "NoCollision", "TRTCollision",
     "MRTCollision", "RegularizedCollision", "KBCCollision",
     "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision",
+    "CumulantCollision",
     "BounceBackBoundary", "EquilibriumBoundaryPU", "AntiBounceBackOutlet",
     "EquilibriumOutletP", "SpongeOutlet", "PeriodicPressureBC",
     "Force", "Guo", "ShanChen",

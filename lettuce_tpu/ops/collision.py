@@ -23,7 +23,8 @@ from ..stencil import D2Q9, D3Q27
 
 __all__ = ["Collision", "BGKCollision", "NoCollision", "TRTCollision",
            "MRTCollision", "RegularizedCollision", "KBCCollision",
-           "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision"]
+           "KBCCollision2D", "KBCCollision3D", "SmagorinskyCollision",
+           "CumulantCollision"]
 
 
 class Collision(ABC):
@@ -145,6 +146,38 @@ class MRTCollision(Collision):
         return isinstance(self.transform,
                           (D2Q9Lallemand, D2Q9Dellar, D3Q27Hermite,
                            D3Q19DHumieres))
+
+
+class CumulantCollision(MRTCollision):
+    """Cumulant collision for D3Q27 (Geier et al. 2015): relax the
+    cumulants of f toward their Maxwellian values. Completes the
+    component the reference left as a commented-out draft
+    (``/root/reference/lettuce/util/moments.py:276-366``).
+
+    The three first-order slots carry the conserved momenta (identity
+    relaxation); the six second-order cumulants relax with ``tau``
+    (setting the shear viscosity exactly as BGK does); all higher-order
+    cumulants relax to zero at rate ``tau_high`` (default 1 — the
+    standard instantaneous-equilibration choice that gives the cumulant
+    method its stability at under-resolved high Re). Runs on the jnp
+    path (nonlinear per-node algebra; no kernel fragment — like the
+    reference, whose native layer only covers BGK).
+    """
+
+    def __init__(self, stencil: "Stencil", tau: float,
+                 context: "Context" = None, tau_high: float = 1.0):
+        from ..utils.moments import D3Q27CumulantTransform, _CUM_IDXS
+        transform = D3Q27CumulantTransform(stencil, context)
+        taus = [float(tau) if sum(idx) == 2 else float(tau_high)
+                for idx in _CUM_IDXS]
+        for i, idx in enumerate(_CUM_IDXS):
+            if sum(idx) <= 1:
+                taus[i] = 1.0  # conserved slots: meq == m, rate moot
+        super().__init__(transform, taus, context)
+        self.tau = float(tau)
+
+    def native_available(self) -> bool:
+        return False
 
 
 class RegularizedCollision(Collision):

@@ -34,9 +34,15 @@ Key design points (vs. the reference's CUDA push-streaming):
   form at the destination).
 
 Supported natively (anything else falls back to the XLA-fused jnp path,
-like the reference falls back to its Python step): BGK / NoCollision,
-QuadraticEquilibrium, BounceBackBoundary, EquilibriumBoundaryPU with
-uniform velocity/pressure.
+like the reference falls back to its Python step): all seven collision
+operators — BGK (incl. Guo/Shan-Chen forced), NoCollision, TRT, MRT
+(folded static matvec over any of the four moment transforms),
+Regularized, KBC (D2Q9/D3Q27), Smagorinsky — with
+QuadraticEquilibrium, BounceBackBoundary and EquilibriumBoundaryPU
+(uniform or per-node fields); outlet boundaries ride the kernel via the
+hybrid window replay (``hybrid_outlets.py``). The authoritative
+capability matrix lives in ``docs/pallas_kernel.md`` ("Capability
+gating"); the dispatch itself is ``gate_fused_params`` below.
 """
 
 from __future__ import annotations
@@ -344,18 +350,28 @@ def _store_parts(parts, slab, is3d: bool, bx: int, bys: Optional[int],
     q-leading f slabs (4D) and plain mask slabs (3D)."""
     lead = (slice(None),) if slab.ndim == 4 else ()
     xh = xhalo
+
+    def load(part):
+        v = part[:]
+        # 16-bit HBM storage with full-precision (f32) slab scratches:
+        # one widening convert on fill replaces a per-sub-step convert +
+        # sub-tile relayout inside the blocked sweep
+        if v.dtype != slab.dtype:
+            v = v.astype(slab.dtype)
+        return v
+
     x_slices = [slice(0, xh), slice(xh, xh + bx),
                 slice(xh + bx, 2 * xh + bx)]
     if not is3d:
         for xs, part in zip(x_slices, parts):
-            slab[lead + (xs,)] = part[:]
+            slab[lead + (xs,)] = load(part)
         return
     m_slices = [slice(0, yhalo), slice(yhalo, yhalo + bys),
                 slice(yhalo + bys, yhalo + bys + yhalo)]
     k = 0
     for xs in x_slices:
         for ms in m_slices:
-            slab[lead + (xs, ms)] = parts[k][:]
+            slab[lead + (xs, ms)] = load(parts[k])
             k += 1
 
 
@@ -1381,8 +1397,8 @@ def _stream_collide_kernel(
             shifted = _minor_image_fix(shifted, minor_image[0],
                                        minor_image[1],
                                        S if is3d else shifted.shape[-2])
-        if shifted.dtype != slab.dtype:
-            shifted = shifted.astype(slab.dtype)
+        if shifted.dtype != out_ref.dtype:
+            shifted = shifted.astype(out_ref.dtype)
         out_ref[qi] = shifted
 
 
@@ -1404,6 +1420,7 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
                          yhalo_rows: Optional[int] = None,
                          minor_image: Optional[Tuple[int, int]] = None,
                          emit_u: bool = False,
+                         wide_slab: Optional[bool] = None,
                          interpret: bool = False) -> jax.Array:
     """One fused collide-and-stream step via Pallas (``n_sub`` steps when
     temporally blocked).
@@ -1516,9 +1533,18 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
 
     slab_rows = YS if d == 2 else bys + 2 * yhalo
     slab_shape = (q, bx + 2 * n_sub, slab_rows, LANES)
-    scratch = [pltpu.VMEM(slab_shape, f.dtype)]
+    # 16-bit storage computes in f32; keeping the slab scratches f32 too
+    # ("wide slabs") converts once on fill and once on the final write
+    # instead of per-sub-step, keeps every slab op on native 8-row f32
+    # tiles (bf16's 16-row tile makes the 8-row halo slices sub-tile
+    # relayouts), and carries full precision BETWEEN sub-steps — HBM
+    # rounding happens only at launch boundaries. Costs 2x slab VMEM.
+    if wide_slab is None:
+        wide_slab = jnp.dtype(f.dtype).itemsize == 2
+    slab_dtype = jnp.float32 if wide_slab else f.dtype
+    scratch = [pltpu.VMEM(slab_shape, slab_dtype)]
     if n_sub > 1:
-        scratch.append(pltpu.VMEM(slab_shape, f.dtype))  # ping-pong slab
+        scratch.append(pltpu.VMEM(slab_shape, slab_dtype))  # ping-pong
     if has_ncm:
         scratch.append(pltpu.VMEM((bx + 2 * n_sub, slab_rows, LANES),
                                   jnp.int32))

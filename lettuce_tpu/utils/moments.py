@@ -33,7 +33,7 @@ from .utility import InefficientCodeWarning, LettuceException, \
 
 __all__ = ["moment_tensor", "get_default_moment_transform", "Transform",
            "D1Q3Transform", "D2Q9Lallemand", "D2Q9Dellar", "D3Q27Hermite",
-           "D3Q19DHumieres"]
+           "D3Q19DHumieres", "D3Q27CumulantTransform"]
 
 
 def moment_tensor(e, multiindex):
@@ -258,6 +258,238 @@ class D3Q27Hermite(_MatrixTransform):
             val = (j['x'] ** i * j['y'] ** jj * j['z'] ** k
                    / rho ** (order - 1))
             rows.append(val)
+        return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# D3Q27 cumulant transform (Geier et al. 2015)
+# --------------------------------------------------------------------------
+# The reference carries this only as a commented-out draft
+# (/root/reference/lettuce/util/moments.py:276-366, explicitly unfinished).
+# Instead of transcribing the published central-moment<->cumulant relations
+# (a notorious source of coefficient typos), both directions are DERIVED
+# symbolically at build time from the generating-function definitions:
+#
+#   G(xi)  = (1/rho) sum_abc kappa_abc xi_x^a xi_y^b xi_z^c / (a! b! c!)
+#   c_abc  = a! b! c! [xi^abc] log G          (normalized cumulants, C/rho)
+#   n_abc  = a! b! c! [xi^abc] exp(L),  L = sum c_abc xi^abc / (a! b! c!)
+#
+# using exact Fraction arithmetic over truncated power series (exponents
+# capped at 2 per axis — the D3Q27 raw-moment basis). First-order central
+# moments vanish identically in the comoving frame (u = j/rho), so the
+# series start at total degree 2 and log/exp need only three terms.
+# The derivation reproduces e.g. Geier's
+#   C_220 = kappa_220 - (kappa_200 kappa_020 + 2 kappa_110^2)/rho
+# exactly, with zero transcription risk for the 5th/6th-order relations.
+
+_CUM_IDXS = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+
+
+def _series_mul(A, B):
+    """Multiply truncated power series in xi whose coefficients are
+    polynomials over symbols: dict[idx] -> dict[monomial] -> Fraction,
+    monomial = sorted tuple of symbol indices. Exponents above 2 per axis
+    can never fall back below 2, so dropping them is exact."""
+    out = {}
+    for ea, ma in A.items():
+        for eb, mb in B.items():
+            ec = (ea[0] + eb[0], ea[1] + eb[1], ea[2] + eb[2])
+            if max(ec) > 2:
+                continue
+            dst = out.setdefault(ec, {})
+            for mono_a, ca in ma.items():
+                for mono_b, cb in mb.items():
+                    mono = tuple(sorted(mono_a + mono_b))
+                    dst[mono] = dst.get(mono, 0) + ca * cb
+    return out
+
+
+def _series_sum(series_list, coeffs):
+    out = {}
+    for series, c in zip(series_list, coeffs):
+        for idx, monos in series.items():
+            dst = out.setdefault(idx, {})
+            for mono, v in monos.items():
+                dst[mono] = dst.get(mono, 0) + c * v
+    return out
+
+
+def _derive_cumulant_relations():
+    """Returns (to_cum, from_cum): for each multi-index of total order
+    >= 2, a list of (float coefficient, tuple of source multi-indices)
+    whose evaluated sum gives the normalized cumulant (resp. normalized
+    central moment) at that index."""
+    from fractions import Fraction
+    from math import factorial
+
+    def fct(idx):
+        return Fraction(1, factorial(idx[0]) * factorial(idx[1])
+                        * factorial(idx[2]))
+
+    active = [idx for idx in _CUM_IDXS if sum(idx) >= 2]
+    # N = G - 1 with symbols n_idx (kappa/rho); first order dropped (== 0)
+    N = {idx: {(idx,): fct(idx)} for idx in active}
+    N2 = _series_mul(N, N)
+    N3 = _series_mul(N2, N)
+    logG = _series_sum([N, N2, N3],
+                       [Fraction(1), Fraction(-1, 2), Fraction(1, 3)])
+    # L with symbols c_idx; exp(L) - 1 = L + L^2/2 + L^3/6
+    L = {idx: {(idx,): fct(idx)} for idx in active}
+    L2 = _series_mul(L, L)
+    L3 = _series_mul(L2, L)
+    expL = _series_sum([L, L2, L3],
+                       [Fraction(1), Fraction(1, 2), Fraction(1, 6)])
+
+    def extract(series):
+        rel = {}
+        for idx in active:
+            inv_f = 1 / fct(idx)
+            terms = [(float(coeff * inv_f), mono)
+                     for mono, coeff in series.get(idx, {}).items()
+                     if coeff != 0]
+            rel[idx] = terms
+        return rel
+
+    return extract(logG), extract(expL)
+
+
+class D3Q27CumulantTransform(Transform):
+    """Cumulant transform for D3Q27 (Geier, Schönherr, Pasquali, Krafczyk
+    2015): raw moments -> central moments (binomial velocity shift) ->
+    cumulants (derived log-series relations). Nonlinear, so it does not
+    subclass _MatrixTransform; it plugs into ``MRTCollision`` through the
+    generic Transform protocol, completing the component the reference
+    left as a commented-out draft (``moments.py:276-366``).
+
+    Vector layout: 27 slots ordered by multi-index (a, b, c) in
+    ``_CUM_IDXS`` (lexicographic, exponents 0..2 per axis). The comoving
+    first-order cumulants vanish identically, so those slots carry the
+    conserved momenta j = rho u instead (and slot (0,0,0) carries rho) —
+    making the transform invertible without side information.
+    """
+
+    supported_stencils = [D3Q27]
+
+    def __init__(self, stencil: "Stencil", context: "Context" = None,
+                 names=None):
+        if names is None:
+            names = []
+            for idx in _CUM_IDXS:
+                if idx == (0, 0, 0):
+                    names.append("rho")
+                elif sum(idx) == 1:
+                    names.append("j" + "xyz"[idx.index(1)])
+                else:
+                    names.append("C_" + "".join(str(i) for i in idx))
+        super().__init__(stencil, context, names)
+        e = np.asarray(stencil.e, dtype=np.float64)
+        M = moment_tensor(e, np.asarray(_CUM_IDXS))
+        dtype = context.dtype if context is not None else jnp.float64
+        self.matrix = jnp.asarray(M, dtype=dtype)
+        self.inverse = jnp.asarray(np.linalg.inv(M), dtype=dtype)
+        self._to_cum, self._from_cum = _derive_cumulant_relations()
+        self._slot = {idx: i for i, idx in enumerate(_CUM_IDXS)}
+
+    # -- binomial velocity shift (exact, per-axis Horner form) ---------
+    @staticmethod
+    def _shift(mom, u, sign):
+        """Central<->raw shift along all axes: kappa_a = sum_{p<=a}
+        C(a,p) (sign*u)^(a-p) m_p, applied per axis (a in 0..2)."""
+        for axis in range(3):
+            ua = sign * u[axis]
+            ua2 = ua * ua
+            new = dict(mom)
+            for idx, val in mom.items():
+                if idx[axis] == 1:
+                    lower = list(idx)
+                    lower[axis] = 0
+                    new[idx] = val + ua * mom[tuple(lower)]
+                elif idx[axis] == 2:
+                    l1 = list(idx)
+                    l1[axis] = 1
+                    l0 = list(idx)
+                    l0[axis] = 0
+                    new[idx] = (val + 2.0 * ua * mom[tuple(l1)]
+                                + ua2 * mom[tuple(l0)])
+            mom = new
+        return mom
+
+    @staticmethod
+    def _eval_relations(rel, src, rho):
+        out = {}
+        for idx, terms in rel.items():
+            acc = None
+            for coeff, mono in terms:
+                prod = None
+                for s in mono:
+                    prod = src[s] if prod is None else prod * src[s]
+                term = coeff * prod if coeff != 1.0 else prod
+                acc = term if acc is None else acc + term
+            out[idx] = rho * acc if acc is not None else jnp.zeros_like(rho)
+        return out
+
+    def transform(self, f):
+        m = self._mv(self.matrix.astype(f.dtype), f)
+        mom = {idx: m[self._slot[idx]] for idx in _CUM_IDXS}
+        rho = mom[(0, 0, 0)]
+        inv_rho = 1.0 / rho
+        j = [mom[(1, 0, 0)], mom[(0, 1, 0)], mom[(0, 0, 1)]]
+        u = [ja * inv_rho for ja in j]
+        kap = self._shift(mom, u, -1.0)
+        n = {idx: kap[idx] * inv_rho for idx in _CUM_IDXS if sum(idx) >= 2}
+        cum = self._eval_relations(self._to_cum, n, rho)
+        out = [None] * len(_CUM_IDXS)
+        for i, idx in enumerate(_CUM_IDXS):
+            if idx == (0, 0, 0):
+                out[i] = rho
+            elif sum(idx) == 1:
+                out[i] = j[[(1, 0, 0), (0, 1, 0), (0, 0, 1)].index(idx)]
+            else:
+                out[i] = cum[idx]
+        return jnp.stack(out)
+
+    def inverse_transform(self, c):
+        rho = c[self._slot[(0, 0, 0)]]
+        inv_rho = 1.0 / rho
+        j = [c[self._slot[(1, 0, 0)]], c[self._slot[(0, 1, 0)]],
+             c[self._slot[(0, 0, 1)]]]
+        u = [ja * inv_rho for ja in j]
+        cn = {idx: c[self._slot[idx]] * inv_rho
+              for idx in _CUM_IDXS if sum(idx) >= 2}
+        kap = self._eval_relations(self._from_cum, cn, rho)
+        zero = jnp.zeros_like(rho)
+        mom = {}
+        for idx in _CUM_IDXS:
+            if idx == (0, 0, 0):
+                mom[idx] = rho
+            elif sum(idx) == 1:
+                mom[idx] = zero  # comoving first-order central moments
+            else:
+                mom[idx] = kap[idx]
+        raw = self._shift(mom, u, +1.0)
+        # restore the conserved momenta exactly (the shift reconstructs
+        # m_100 = rho u_x from kappa_100 = 0; use the stored j instead)
+        raw[(1, 0, 0)], raw[(0, 1, 0)], raw[(0, 0, 1)] = j
+        m = jnp.stack([raw[idx] for idx in _CUM_IDXS])
+        return self._mv(self.inverse.astype(m.dtype), m)
+
+    def equilibrium(self, m, flow: "Flow" = None):
+        """Maxwellian cumulants: all zero above first order except the
+        three diagonal second-order cumulants rho cs^2. Exact fixpoint at
+        rest (the D3Q27 weights are the product form), conserves rho, j
+        for any state."""
+        rho = m[self._slot[(0, 0, 0)]]
+        cs2 = float(self.stencil.cs) ** 2
+        diag = rho * cs2
+        zero = jnp.zeros_like(rho)
+        rows = []
+        for idx in _CUM_IDXS:
+            if idx == (0, 0, 0) or sum(idx) == 1:
+                rows.append(m[self._slot[idx]])
+            elif idx in ((2, 0, 0), (0, 2, 0), (0, 0, 2)):
+                rows.append(diag)
+            else:
+                rows.append(zero)
         return jnp.stack(rows)
 
 
