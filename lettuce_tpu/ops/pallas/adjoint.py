@@ -63,7 +63,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stream_collide import (LANES, _I0, _halo_specs, _minor_fold,
+from .stream_collide import (LANES, YHALO, _I0, _halo_specs, _minor_fold,
                              _moments, _roll_minor, _store_parts,
                              _RollMasks, build_pair_apply, plan_blocks)
 
@@ -799,3 +799,369 @@ def build_adjoint_step(simulation, params, ncm, nsm, shape=None,
                     ("f" if spec[0] != "none" else None))
     adj.mode = "full"
     return adj
+
+
+# ---------------------------------------------------------------------------
+# Temporally-blocked adjoint: the backward pass of n_sub fused sub-steps in
+# ONE memory-bound launch (VERDICT r4 #3). Recompute-in-block strategy: the
+# kernel reads the launch-input state f with a 2(n_sub-1)-deep halo, replays
+# the forward sub-steps entirely in VMEM storing only each sub-step's
+# pre-collision velocity (d fields per level), then runs the adjoint sweep
+# backward through the stored levels, ping-ponging the cotangent between the
+# (by then free) forward slabs. HBM traffic per simulation step drops from
+# the single-step adjoint's 3q fields to ~(2q + q)/n_sub + boundary halos.
+# Periodic configurations only (masks/boundaries/hybrid outlets keep the
+# single-step adjoint), matching the forward temporal-blocking gate.
+# ---------------------------------------------------------------------------
+
+def _transpose_collide_slab(h, u, u2, e, w, opposite, cs, spec):
+    """(J^T h) for one sub-step on full-slab arrays: h[qi] is the
+    adjoint-streamed cotangent h_i(x) = g_i(x + e_i), u the level's
+    pre-collision velocity. Same pair-shared algebra as
+    ``_adjoint_kernel`` (t = M^T h; weighted moments S0/S1/S2; A' + e.B)
+    without mask/boundary routing."""
+    q = e.shape[0]
+    d = len(u)
+    cs2 = cs * cs
+    kind = spec[0]
+    pairs, rest = _pairs_of(e, opposite)
+
+    if kind == "none":
+        return [h[qi] for qi in range(q)]
+
+    if kind == "bgk":
+        tau_inv = spec[1]
+
+        def t_at(qp, qm):
+            return tau_inv * h[qp], tau_inv * h[qm]
+
+        def t_rest(q0):
+            return tau_inv * h[q0]
+    elif kind == "trt":
+        _, tau_plus, tau_minus = spec
+        cp, cm = 0.5 / tau_plus, 0.5 / tau_minus
+        csum, cdif = cp + cm, cp - cm
+
+        def t_at(qp, qm):
+            hp, hm = h[qp], h[qm]
+            return csum * hp + cdif * hm, csum * hm + cdif * hp
+
+        def t_rest(q0):
+            return (2.0 * cp) * h[q0]
+    else:  # matvec (folded MRT / regularized), transposed at build time
+        ts = build_pair_apply(np.asarray(spec[1], dtype=np.float64),
+                              opposite)([h[qi] for qi in range(q)])
+
+        def t_of(qi):
+            return ts[qi] if ts[qi] is not None else h[qi] * 0.0
+
+        def t_at(qp, qm):
+            return t_of(qp), t_of(qm)
+
+        t_rest = t_of
+
+    out = [None] * q
+    sym_pairs = [(a, b) for a in range(d) for b in range(a, d)]
+    S0 = None
+    S1 = [None] * d
+    S2 = {p: None for p in sym_pairs}
+    for qp, qm in pairs:
+        tp, tm = t_at(qp, qm)
+        out[qp] = h[qp] - tp
+        out[qm] = h[qm] - tm
+        wq = float(w[qp])
+        ws = wq * (tp + tm)
+        wd = wq * (tp - tm)
+        S0 = ws if S0 is None else S0 + ws
+        for a in range(d):
+            ea = int(e[qp, a])
+            if ea == 0:
+                continue
+            t = wd if ea == 1 else -wd
+            S1[a] = t if S1[a] is None else S1[a] + t
+        for (a, b) in sym_pairs:
+            c = int(e[qp, a]) * int(e[qp, b])
+            if c == 0:
+                continue
+            t = ws if c == 1 else -ws
+            S2[(a, b)] = t if S2[(a, b)] is None else S2[(a, b)] + t
+    if rest is not None:
+        t0 = t_rest(rest)
+        out[rest] = h[rest] - t0
+        t = float(w[rest]) * t0
+        S0 = t if S0 is None else S0 + t
+
+    inv_cs2 = 1.0 / cs2
+
+    def s2_at(a, b):
+        return S2[(a, b) if a <= b else (b, a)]
+
+    T = []
+    for a in range(d):
+        acc = None
+        for b in range(d):
+            v = s2_at(a, b)
+            if v is None:
+                continue
+            t = u[b] * v
+            acc = t if acc is None else acc + t
+        T.append(acc)
+    uS1 = None
+    for a in range(d):
+        if S1[a] is None:
+            continue
+        t = u[a] * S1[a]
+        uS1 = t if uS1 is None else uS1 + t
+    uuS2 = None
+    for a in range(d):
+        if T[a] is None:
+            continue
+        t = u[a] * T[a]
+        uuS2 = t if uuS2 is None else uuS2 + t
+
+    A = S0 * (1.0 - u2 * (0.5 * inv_cs2))
+    if uS1 is not None:
+        A = A + uS1 * inv_cs2
+    if uuS2 is not None:
+        A = A + uuS2 * (0.5 * inv_cs2 * inv_cs2)
+    B = []
+    for a in range(d):
+        acc = -u[a] * S0
+        if S1[a] is not None:
+            acc = acc + S1[a]
+        if T[a] is not None:
+            acc = acc + T[a] * inv_cs2
+        B.append(acc * inv_cs2)
+    Ap = A
+    for a in range(d):
+        Ap = Ap - u[a] * B[a]
+
+    for qp, qm in pairs:
+        eb = None
+        for a in range(d):
+            ea = int(e[qp, a])
+            if ea == 0:
+                continue
+            t = B[a] if ea == 1 else -B[a]
+            eb = t if eb is None else eb + t
+        out[qp] = out[qp] + (Ap + eb)
+        out[qm] = out[qm] + (Ap - eb)
+    if rest is not None:
+        out[rest] = out[rest] + Ap
+    return out
+
+
+def plan_adjoint_multi(shape, q, dtype, n_sub: int,
+                       block_target=(16, 32), block_target_2d: int = 128):
+    """(bx, by, S, xhalo, yhalo) for the blocked adjoint, or raise
+    NotImplementedError. The slab halo must cover BOTH the backward
+    cotangent cone (n_sub) and the forward-recompute cone for the
+    deepest level's velocity (2(n_sub-1)); it must also divide the
+    block extent (halo index maps run in whole halo-block units)."""
+    d = len(shape)
+    bx, by, yhalo0, S = plan_blocks(shape, q, dtype,
+                                    block_target=block_target,
+                                    block_target_2d=block_target_2d)
+    need_x = max(n_sub, 2 * (n_sub - 1))
+    xhalo = need_x
+    while bx % xhalo != 0:
+        xhalo += 1
+        if xhalo > bx:
+            raise NotImplementedError(
+                f"no x-halo depth >= {need_x} divides bx={bx}")
+    if d == 2:
+        return bx, None, S, xhalo, None
+    need_rows = need_x * S
+    yhalo = ((need_rows + 7) // 8) * 8
+    while yhalo % S != 0 or (by * S) % yhalo != 0:
+        yhalo += 8
+        if yhalo > by * S:
+            raise NotImplementedError(
+                f"no y-halo depth >= {need_rows} rows divides bys={by * S}")
+    return bx, by, S, xhalo, yhalo
+
+
+def _adjoint_multi_kernel(*refs, e: np.ndarray, w: np.ndarray,
+                          opposite: np.ndarray, cs: float,
+                          fwd_spec: tuple, adj_spec: tuple,
+                          bx: int, by: Optional[int], S: int,
+                          xhalo: int, yhalo: Optional[int], n_sub: int):
+    q = e.shape[0]
+    is3d = by is not None
+    d = 3 if is3d else 2
+    n_parts = 9 if is3d else 3
+
+    f_parts = refs[:n_parts]
+    g_parts = refs[n_parts:2 * n_parts]
+    out_ref = refs[2 * n_parts]
+    slab_a = refs[2 * n_parts + 1]
+    slab_b = refs[2 * n_parts + 2]
+    u_ref = refs[2 * n_parts + 3]   # (n_sub * d, X_s, R_s, LANES)
+
+    bys = by * S if is3d else None
+    _store_parts(f_parts, slab_a, is3d, bx, bys,
+                 yhalo=yhalo if is3d else 0, xhalo=xhalo)
+
+    X_s = slab_a.shape[1]
+    R_s = slab_a.shape[2]
+    compute_dtype = slab_a.dtype
+    roll_masks = _RollMasks((X_s, R_s, LANES), S if is3d else R_s)
+    slabs = [slab_a, slab_b]
+
+    # ---- forward recompute: store each level's pre-collision velocity
+    from .stream_collide import _make_collide
+    for k in range(n_sub):
+        cur = slabs[k % 2]
+        nxt = slabs[(k + 1) % 2]
+
+        def read(qi, _cur=cur):
+            return _cur[qi]
+
+        rho, u, u2 = _moments(read, q, e, d, dev_storage=False)
+        for a in range(d):
+            u_ref[k * d + a] = u[a]
+        if k == n_sub - 1:
+            break  # only its velocity is needed; f_{n_sub} never is
+        fpost_of = _make_collide(fwd_spec, e, w, opposite, cs, d,
+                                 rho, u, u2, read, False)
+        m = k + 1
+        for qi in range(q):
+            fpost = fpost_of(qi)
+            ez = int(e[qi, d - 1])
+            shifted = _roll_minor(fpost, ez, S if is3d else R_s,
+                                  roll_masks)
+            ex = int(e[qi, 0])
+            if is3d:
+                ey = int(e[qi, 1])
+                xs0, xs1 = m, X_s - m
+                rs0, rs1 = m * S, R_s - m * S
+                nxt[qi, xs0:xs1, rs0:rs1] = shifted[
+                    xs0 - ex:xs1 - ex, rs0 - ey * S:rs1 - ey * S]
+            else:
+                xs0, xs1 = m, X_s - m
+                nxt[qi, xs0:xs1] = shifted[xs0 - ex:xs1 - ex]
+
+    # ---- backward sweep: h ping-pongs through the (now free) slabs
+    h_slab = slabs[(n_sub - 1) % 2]   # holds f_{n_sub-1}; overwrite with g
+    _store_parts(g_parts, h_slab, is3d, bx, bys,
+                 yhalo=yhalo if is3d else 0, xhalo=xhalo)
+    h_cur = h_slab
+    h_nxt = slabs[n_sub % 2]
+    for kk in range(n_sub - 1, -1, -1):
+        m = n_sub - kk
+        if is3d:
+            xs0, xs1 = m, X_s - m
+            rs0, rs1 = m * S, R_s - m * S
+        else:
+            xs0, xs1 = m, X_s - m
+            rs0, rs1 = 0, R_s
+        # adjoint stream: h_i(x) = h_next_i(x + e_i)
+        h = {}
+        for qi in range(q):
+            gi = h_cur[qi]
+            ez = int(e[qi, d - 1])
+            shifted = _roll_minor(gi, -ez, S if is3d else R_s, roll_masks)
+            ex = int(e[qi, 0])
+            if is3d:
+                ey = int(e[qi, 1])
+                h[qi] = shifted[xs0 + ex:xs1 + ex,
+                                rs0 + ey * S:rs1 + ey * S]
+            else:
+                h[qi] = shifted[xs0 + ex:xs1 + ex]
+        uk = [u_ref[kk * d + a, xs0:xs1, rs0:rs1] if is3d
+              else u_ref[kk * d + a, xs0:xs1] for a in range(d)]
+        u2k = None
+        for uc in uk:
+            u2k = uc * uc if u2k is None else u2k + uc * uc
+        ct = _transpose_collide_slab(h, uk, u2k, e, w, opposite, cs,
+                                     adj_spec)
+        if kk == 0:
+            for qi in range(q):
+                if is3d:
+                    v = ct[qi][xhalo - m:xhalo - m + bx,
+                               yhalo - rs0:yhalo - rs0 + bys]
+                else:
+                    v = ct[qi][xhalo - m:xhalo - m + bx]
+                if v.dtype != out_ref.dtype:
+                    v = v.astype(out_ref.dtype)
+                out_ref[qi] = v
+        else:
+            for qi in range(q):
+                if is3d:
+                    h_nxt[qi, xs0:xs1, rs0:rs1] = ct[qi]
+                else:
+                    h_nxt[qi, xs0:xs1] = ct[qi]
+            h_cur, h_nxt = h_nxt, h_cur
+
+
+def fused_adjoint_multi(f: jax.Array, g: jax.Array, e: np.ndarray,
+                        w: np.ndarray, opposite: np.ndarray, cs: float,
+                        fwd_spec: tuple, adj_spec: tuple, n_sub: int,
+                        block_target: Tuple[int, int] = (16, 32),
+                        block_target_2d: int = 128,
+                        vmem_limit_mb: Optional[int] = None,
+                        interpret: bool = False) -> jax.Array:
+    """Exact VJP of ``n_sub`` fused collide-and-stream sub-steps (the
+    temporally-blocked forward launch) in one Pallas pass. ``f`` is the
+    LAUNCH input state (the only residual); ``g`` the cotangent of the
+    launch output. Periodic configurations, f-linear collisions
+    (BGK / TRT / folded MRT / regularized / none) only."""
+    q = e.shape[0]
+    shape = g.shape[1:]
+    d = len(shape)
+    bx, by, S, xhalo, yhalo = plan_adjoint_multi(
+        shape, q, g.dtype, n_sub, block_target=block_target,
+        block_target_2d=block_target_2d)
+
+    if d == 2:
+        YS = S
+        bys = None
+        grid = (shape[0] // bx,)
+        merged_shape = (q, shape[0], S, LANES)
+        out_block = (q, bx, S, LANES)
+        out_index = lambda i: (_I0, i, _I0, _I0)
+    else:
+        YS = shape[1] * S
+        bys = by * S
+        grid = (shape[0] // bx, shape[1] // by)
+        merged_shape = (q, shape[0], YS, LANES)
+        out_block = (q, bx, bys, LANES)
+        out_index = lambda i, j: (_I0, i, j, _I0)
+
+    specs = _halo_specs(shape[0], YS, bx, bys, lead_q=q,
+                        yhalo=yhalo if d == 3 else YHALO, xhalo=xhalo)
+    in_specs = list(specs) + list(specs)
+    inputs = ([f.reshape(merged_shape)] * len(specs)
+              + [g.reshape(merged_shape)] * len(specs))
+
+    kernel = partial(
+        _adjoint_multi_kernel,
+        e=e, w=w, opposite=opposite, cs=cs,
+        fwd_spec=fwd_spec, adj_spec=adj_spec,
+        bx=bx, by=by, S=S, xhalo=xhalo,
+        yhalo=yhalo if d == 3 else None, n_sub=n_sub)
+
+    compiler_params = None
+    if vmem_limit_mb is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+
+    slab_rows = YS if d == 2 else bys + 2 * yhalo
+    slab_shape = (q, bx + 2 * xhalo, slab_rows, LANES)
+    d_dim = d
+    scratch = [pltpu.VMEM(slab_shape, g.dtype),
+               pltpu.VMEM(slab_shape, g.dtype),
+               pltpu.VMEM((n_sub * d_dim,) + slab_shape[1:], g.dtype)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(out_block, out_index,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(merged_shape, g.dtype),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(g.shape)

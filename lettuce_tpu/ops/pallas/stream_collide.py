@@ -2113,6 +2113,53 @@ def build_fused_multi_step(simulation: "Simulation",
                     out = padding.refresh(out, skip_minor=True)
             return out
 
+        step.adjoint_kernel = False
+        # blocked adjoint (periodic, f-linear collisions, full precision):
+        # custom_vjp whose backward is ONE recompute-in-block Pallas pass
+        # for all ns sub-steps (ops/pallas/adjoint.py, fused_adjoint_multi)
+        # — gradient rollouts then run at blocked-kernel speed instead of
+        # scanning the single-step adjoint
+        if (not dev_storage and fixup is None and padding is None
+                and ncm is None and nsm_k is None
+                and _os.environ.get("LETTUCE_ADJOINT", "1") != "0"):
+            try:
+                from .adjoint import (adjoint_collision_spec,
+                                      fused_adjoint_multi,
+                                      plan_adjoint_multi)
+                adj_spec = adjoint_collision_spec(params)
+                if adj_spec[0] == "smag":
+                    raise NotImplementedError(
+                        "blocked adjoint needs per-sub-step state for the "
+                        "smagorinsky relaxation derivative")
+                bt = params.get("block_target", (16, 32))
+                plan_adjoint_multi(
+                    tuple(simulation.flow.resolution), q,
+                    simulation.flow.f.dtype, ns, block_target=bt)
+                inner = step
+
+                @jax.custom_vjp
+                def step(f):  # noqa: F811
+                    return inner(f)
+
+                def step_fwd(f):
+                    return inner(f), f
+
+                def step_bwd(f, ct, _ns=ns, _bt=bt):
+                    return (fused_adjoint_multi(
+                        f, ct, params["e"], params["w"],
+                        params["opposite"], params["cs"],
+                        params["collision_spec"], adj_spec, _ns,
+                        block_target=_bt,
+                        vmem_limit_mb=params.get("vmem_limit_mb"),
+                        interpret=params["interpret"]),)
+
+                step.defvjp(step_fwd, step_bwd)
+                stepped = step
+                step = lambda f: stepped(f)
+                step.adjoint_kernel = True
+            except NotImplementedError:
+                pass
+
         step.pad_codec = padding.codec() if padding is not None else None
         return step, ns
     return None

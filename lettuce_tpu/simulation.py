@@ -333,6 +333,50 @@ class Simulation:
         pad = getattr(step, "pad_codec", None)
         unroll = min(int(num_steps), 8)
 
+        # temporally-blocked differentiable bulk: when the blocked kernel
+        # carries its own adjoint (fused_adjoint_multi), scan IT for the
+        # bulk — forward AND backward then run at blocked-kernel speed —
+        # and finish the remainder with the single-step kernel
+        multi = self._step_multi
+        if (multi is not None
+                and getattr(multi[0], "adjoint_kernel", False)
+                and pad is None and int(num_steps) >= multi[1]):
+            mfn, span = multi
+            n_blk, rem = divmod(int(num_steps), span)
+
+            if checkpoint_every is not None:
+                kb = max(1, int(checkpoint_every) // span)
+
+                @jax.checkpoint
+                def chunk_blk(f):
+                    return jax.lax.scan(lambda c, _: (mfn(c), None), f,
+                                        length=kb, unroll=min(kb, 8))[0]
+
+                nb_chunks, nb_rem = divmod(n_blk, kb)
+
+                def segment(f):
+                    if nb_chunks:
+                        f = jax.lax.scan(lambda c, _: (chunk_blk(c), None),
+                                         f, length=nb_chunks)[0]
+                    if nb_rem:
+                        f = jax.lax.scan(lambda c, _: (mfn(c), None), f,
+                                         length=nb_rem,
+                                         unroll=min(nb_rem, 8))[0]
+                    for _ in range(rem):
+                        f = step(f)
+                    return f
+
+                return segment
+
+            def segment(f):
+                f = jax.lax.scan(lambda c, _: (mfn(c), None), f,
+                                 length=n_blk, unroll=min(n_blk, 8))[0]
+                for _ in range(rem):
+                    f = step(f)
+                return f
+
+            return segment
+
         if checkpoint_every is not None:
             k = max(1, int(checkpoint_every))
             n_chunks, rem = divmod(int(num_steps), k)

@@ -470,3 +470,94 @@ def test_adjoint_checkpointed_segment():
     g2 = np.asarray(jax.grad(loss(ckpt))(flow.f))
     assert np.all(np.isfinite(g2))
     _assert_close(g2, g1, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Temporally-blocked adjoint (fused_adjoint_multi): the backward of n_sub
+# fused sub-steps in one recompute-in-block pass
+# ---------------------------------------------------------------------------
+
+def _grad_blocked_vs_jnp(collision_of, stencil, res, n_sub, steps):
+    """Gradient of a rollout through make_segment_fn with the blocked
+    differentiable kernel vs the jnp path."""
+    def make(native):
+        ctx = lt.Context(device="cpu", dtype="float64", use_native=native)
+        flow = lt.TaylorGreenVortex(ctx, res, 100, 0.05, stencil=stencil,
+                                    initialize_fneq=False)
+        sim = lt.Simulation(flow, collision_of(flow), [])
+        return flow, sim
+
+    import os
+    os.environ["LETTUCE_NSUB"] = str(n_sub)
+    try:
+        flow, sim = make(True)
+        assert sim._step_multi is not None
+        assert getattr(sim._step_multi[0], "adjoint_kernel", False)
+        seg = sim.make_segment_fn(steps)
+        g_k = jax.grad(lambda f: jnp.sum(seg(f) ** 2))(flow.f)
+    finally:
+        os.environ.pop("LETTUCE_NSUB", None)
+    flow2, sim2 = make(False)
+    seg2 = sim2.make_segment_fn(steps)
+    g_j = jax.grad(lambda f: jnp.sum(seg2(f) ** 2))(flow2.f)
+    _assert_close(np.asarray(g_k), np.asarray(g_j), 1e-11)
+
+
+def test_adjoint_blocked_bgk_3d():
+    _grad_blocked_vs_jnp(
+        lambda fl: lt.BGKCollision(fl.units.relaxation_parameter_lu),
+        lt.D3Q19(), [16, 16, 128], n_sub=2, steps=5)
+
+
+def test_adjoint_blocked_bgk_2d_deep():
+    _grad_blocked_vs_jnp(
+        lambda fl: lt.BGKCollision(fl.units.relaxation_parameter_lu),
+        lt.D2Q9(), [32, 256], n_sub=4, steps=9)
+
+
+def test_adjoint_blocked_trt():
+    _grad_blocked_vs_jnp(lambda fl: lt.TRTCollision(0.8, 1.1),
+                         lt.D3Q19(), [16, 16, 128], n_sub=2, steps=4)
+
+
+def test_adjoint_blocked_mrt_folded():
+    def col(fl):
+        tr = lt.D3Q19DHumieres(fl.stencil, fl.context)
+        return lt.MRTCollision(tr, [0.8] * fl.stencil.q, fl.context)
+    _grad_blocked_vs_jnp(col, lt.D3Q19(), [16, 16, 128], n_sub=2, steps=4)
+
+
+def test_adjoint_blocked_checkpointed():
+    """jax.checkpoint composes with the blocked custom_vjp segments."""
+    import os
+    os.environ["LETTUCE_NSUB"] = "2"
+    try:
+        ctx = lt.Context(device="cpu", dtype="float64", use_native=True)
+        flow = lt.TaylorGreenVortex(ctx, [16, 16, 128], 100, 0.05,
+                                    stencil=lt.D3Q19(),
+                                    initialize_fneq=False)
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [])
+        seg = sim.make_segment_fn(8, checkpoint_every=4)
+        g1 = jax.grad(lambda f: jnp.sum(seg(f) ** 2))(flow.f)
+        seg_plain = sim.make_segment_fn(8)
+        g2 = jax.grad(lambda f: jnp.sum(seg_plain(f) ** 2))(flow.f)
+    finally:
+        os.environ.pop("LETTUCE_NSUB", None)
+    _assert_close(np.asarray(g1), np.asarray(g2), 1e-12)
+
+
+def test_adjoint_blocked_masked_falls_back():
+    """Masked configurations keep the single-step adjoint path (the
+    blocked custom_vjp is gated to periodic configurations)."""
+    ctx = lt.Context(device="cpu", dtype="float64", use_native=True)
+    flow = lt.CouetteFlow2D(ctx, 16, 100, 0.05)
+    import os
+    os.environ["LETTUCE_NSUB"] = "2"
+    try:
+        sim = lt.Simulation(flow, lt.BGKCollision(
+            flow.units.relaxation_parameter_lu), [])
+        if sim._step_multi is not None:
+            assert not getattr(sim._step_multi[0], "adjoint_kernel", False)
+    finally:
+        os.environ.pop("LETTUCE_NSUB", None)
