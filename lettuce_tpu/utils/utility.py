@@ -16,6 +16,7 @@ import inspect as _inspect
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["get_subclasses", "LettuceException", "LettuceWarning",
            "InefficientCodeWarning", "ExperimentalWarning",
@@ -171,3 +172,58 @@ def install_init_recorder(cls) -> None:
         init(self, *args, **kw)
 
     cls.__init__ = recording_init
+
+
+def chunked_jnp_step(simulation, n_chunks: int = 8):
+    """A memory-lean twin of the pure-jnp reference step: computes one
+    collide-and-stream step in ``n_chunks`` x-slabs with one wrapped
+    halo plane each, so the peak footprint is O(q * X/n_chunks * rest)
+    instead of the full-grid jnp path's many per-q roll intermediates.
+
+    Purpose: an OOM-proof ORACLE for kernel-vs-jnp equivalence at grid
+    sizes where the plain jnp step overflows HBM (KBC D3Q27 at 256^3
+    needs ~30 q-sized intermediates; see docs/performance.md). Only
+    periodic mask-free configurations — exactly the configurations the
+    large-grid equivalence tests run. Pointwise collisions only (every
+    collision operator is pointwise in f; this excludes nothing).
+
+    Returns ``step(f) -> f_next`` mathematically identical to
+    ``Simulation._build_jnp_step()`` (checked in
+    ``tests/test_native.py::test_chunked_oracle_matches_jnp``).
+    """
+    if simulation.no_collision_mask is not None \
+            or simulation.no_streaming_mask is not None:
+        raise NotImplementedError("chunked oracle covers the periodic "
+                                  "mask-free configurations")
+    flow = simulation.flow
+    collision = simulation.collision
+    e = np.asarray(flow.stencil.e)
+    X = int(flow.resolution[0])
+    n_chunks = max(1, min(int(n_chunks), X))
+    while X % n_chunks != 0:
+        n_chunks -= 1
+    cx = X // n_chunks
+
+    def step(f):
+        outs = []
+        for c in range(n_chunks):
+            a = c * cx
+            idx = jnp.arange(a - 1, a + cx + 1) % X
+            fc = f[:, idx]
+            fc = collision(flow.view(fc))
+            # pull streaming inside the extended chunk; x pulls stay in
+            # range because of the halo plane, other axes wrap fully
+            q = e.shape[0]
+            rolled = [
+                jnp.roll(fc[qi], shift=tuple(int(s) for s in e[qi][1:]),
+                         axis=tuple(range(1, e.shape[1])))
+                if e.shape[1] > 1 else fc[qi]
+                for qi in range(q)]
+            out = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(
+                    rolled[qi], 1 - int(e[qi][0]), cx, axis=0)
+                for qi in range(q)])
+            outs.append(out)
+        return jnp.concatenate(outs, axis=1)
+
+    return step
