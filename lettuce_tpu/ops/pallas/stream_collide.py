@@ -429,8 +429,75 @@ def build_pair_apply(mat: np.ndarray, opposite: np.ndarray):
     return apply_pairs
 
 
+def mxu_mode() -> str:
+    """The MXU moment-formulation mode for moment-heavy fragments
+    (VERDICT r4 #1): "off" (VPU add/sub trees, default), "plane"
+    (per-x-plane 2D dots), or "slab" (one whole-slab 2D dot). Set via
+    ``LETTUCE_MXU``. Read at trace time; all modes are numerically
+    equivalent (tests) — the choice is a throughput knob."""
+    import os as _os
+    v = _os.environ.get("LETTUCE_MXU", "off").lower()
+    return {"0": "off", "1": "plane", "2": "slab"}.get(v, v)
+
+
+def build_mxu_matrix(spec, e, w, opposite, cs, d) -> Optional[tuple]:
+    """(matrix, rows) for the collision specs with an MXU moment
+    formulation, or None. ``matrix`` is a float32 numpy array whose rows
+    concatenate every static f-space matrix the fragment contracts with
+    the populations; it enters ``pallas_call`` as a real input (Pallas
+    rejects closed-over array constants). ``rows`` maps a purpose tag to
+    its [r0, r1) row range."""
+    kind = spec[0]
+    q = e.shape[0]
+    e_f = np.asarray(e, dtype=np.float64)
+    if kind == "mrt" and spec[4] == "from_feq":
+        M_np = np.asarray(spec[1], dtype=np.float64)
+        Minv_np = np.asarray(spec[2], dtype=np.float64)
+        s_np = 1.0 / np.asarray([float(t) for t in spec[3]],
+                                dtype=np.float64)
+        C = Minv_np @ (s_np[:, None] * M_np)
+        return C.astype(np.float32), {"C": (0, q)}
+    if kind == "reg":
+        w_f = np.asarray(w, dtype=np.float64)
+        cs2 = cs * cs
+        G = e_f @ e_f.T
+        P = (G * G - cs2 * (e_f * e_f).sum(axis=1)[None, :]) \
+            * (w_f[:, None] / (2.0 * cs2 * cs2))
+        Pk = (1.0 - 1.0 / float(spec[1])) * P
+        return Pk.astype(np.float32), {"P": (0, q)}
+    if kind == "kbc":
+        comps = [(a, b) for a in range(d) for b in range(a, d)]
+        M2 = np.array([[e_f[qi, a] * e_f[qi, b] for qi in range(q)]
+                       for (a, b) in comps])
+        return M2.astype(np.float32), {"M2": (0, len(comps)),
+                                       "comps": comps}
+    return None
+
+
+def _mxu_dot(mref, r0: int, r1: int, rhs, mode: str):
+    """(r1-r0, q) x (q, *spatial) contraction on the MXU. ``rhs`` is the
+    stacked populations (q, X, R, L); returns (r1-r0, X, R, L)."""
+    n = r1 - r0
+    mat = mref[r0:r1]
+    if mat.dtype != rhs.dtype:
+        mat = mat.astype(rhs.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    if mode == "slab":
+        flat = rhs.reshape(rhs.shape[0], -1)
+        out = jax.lax.dot_general(mat, flat, dims,
+                                  preferred_element_type=jnp.float32)
+        return out.reshape((n,) + rhs.shape[1:])
+    outs = []
+    for x in range(rhs.shape[1]):
+        plane = rhs[:, x].reshape(rhs.shape[0], -1)
+        o = jax.lax.dot_general(mat, plane, dims,
+                                preferred_element_type=jnp.float32)
+        outs.append(o.reshape((n,) + rhs.shape[2:]))
+    return jnp.stack(outs, axis=1)
+
+
 def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
-                  dev_storage):
+                  dev_storage, mxu=None):
     """Build the per-q post-collision function for a collision spec.
 
     Each collision operator is a *kernel fragment*: a closure producing
@@ -604,6 +671,18 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         return fpost_trt
 
     if kind == "reg":
+        if mxu is not None and "P" in mxu["rows"]:
+            # MXU formulation: g = P' fneq as ONE static (q, q) dot on
+            # the systolic array (P' = (1 - 1/tau) P), freeing the VPU
+            # for the equilibrium polynomial
+            F = mxu["read_all"]()
+            feqs = jnp.stack([feq_raw(qi) for qi in range(q)])
+            r0, r1 = mxu["rows"]["P"]
+            G = _mxu_dot(mxu["ref"], r0, r1, F - feqs, mxu["mode"])
+
+            def fpost_reg_mxu(qi):
+                return feqs[qi] + G[qi]
+            return fpost_reg_mxu
         # rank-d(d+1)/2 moment-space factorisation of the projection
         # f' = feq + (1 - 1/tau) P fneq (Latt-Chopard, reference
         # ``regularized_collision.py:8-50``). P = W Q : Q^T / (2 cs4)
@@ -724,6 +803,16 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         apply_C = build_pair_apply(C_np, opposite)
 
         if meq_kind == "from_feq":
+            if mxu is not None and "C" in mxu["rows"]:
+                # MXU formulation: C (f - feq) as one static (q, q) dot
+                F = mxu["read_all"]()
+                feqs = jnp.stack([feq_raw(qi) for qi in range(nq)])
+                r0, r1 = mxu["rows"]["C"]
+                CD = _mxu_dot(mxu["ref"], r0, r1, F - feqs, mxu["mode"])
+
+                def fpost_mrt_mxu(qi):
+                    return read(qi) - CD[qi]
+                return fpost_mrt_mxu
             # exact image of the quadratic equilibrium (D3Q19 d'Humieres):
             # f - feq is shift-invariant, so this form composes with
             # deviation storage as-is
@@ -933,17 +1022,28 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         # raw second moments sum e^a e^b f from pair sums f(+e)+f(-e)
         # (e^a e^b is even in e: 13 pair adds replace ~17 adds PER
         # moment). Dev shift: sum w e_a e_b = cs2 diagonal, 0 mixed.
-        pair_sum = {(qp, qm): read(qp) + read(qm) for qp, qm in pairs}
+        # MXU mode: all d(d+1)/2 moments as one static dot instead.
+        if mxu is not None and "M2" in mxu["rows"]:
+            F_all = mxu["read_all"]()
+            r0, r1 = mxu["rows"]["M2"]
+            M2out = _mxu_dot(mxu["ref"], r0, r1, F_all, mxu["mode"])
+            m_comps = mxu["rows"]["comps"]
 
-        def second_moment(a, b):
-            acc = None
-            for (qp, qm), s in pair_sum.items():
-                cc = int(e[qp, a]) * int(e[qp, b])
-                if cc == 0:
-                    continue
-                term = s if cc == 1 else -s
-                acc = term if acc is None else acc + term
-            return acc * inv_rho
+            def second_moment(a, b):
+                ci = m_comps.index((a, b) if a <= b else (b, a))
+                return M2out[ci] * inv_rho
+        else:
+            pair_sum = {(qp, qm): read(qp) + read(qm) for qp, qm in pairs}
+
+            def second_moment(a, b):
+                acc = None
+                for (qp, qm), s in pair_sum.items():
+                    cc = int(e[qp, a]) * int(e[qp, b])
+                    if cc == 0:
+                        continue
+                    term = s if cc == 1 else -s
+                    acc = term if acc is None else acc + term
+                return acc * inv_rho
 
         # s(qi) is LINEAR in the (T, N, P) moment set, so
         # delta_s(qi) = s applied to the moment DELTAS; paired directions
@@ -1092,7 +1192,8 @@ def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
                  bx, S, yhalo, n_sub, is3d, compute_dtype, dev_storage,
                  ncm_slab_ref=None, feq_slab_ref=None,
                  boundary_kinds=(), feq_boundary=None, minor_image=None,
-                 nsm_slab_ref=None):
+                 nsm_slab_ref=None, mxu_ref=None, mxu_rows=None,
+                 mxu_dot_mode: str = "off"):
     """Temporally-blocked sweep: run ``n_sub`` collide-and-stream
     sub-steps entirely in VMEM, ping-ponging between two slab scratches.
 
@@ -1135,8 +1236,17 @@ def _multi_sweep(slab, slab2, out_ref, spec, e, w, opposite, cs, d,
             return fi
 
         rho, u, u2 = _moments(read, q, e, d, dev_storage)
+        mxu = None
+        if mxu_ref is not None:
+            def read_all(_cur=cur):
+                F = _cur[:]
+                if F.dtype != compute_dtype:
+                    F = F.astype(compute_dtype)
+                return F
+            mxu = {"ref": mxu_ref, "rows": mxu_rows,
+                   "mode": mxu_dot_mode, "read_all": read_all}
         fpost_of = _make_collide(spec, e, w, opposite, cs, d, rho, u, u2,
-                                 read, dev_storage)
+                                 read, dev_storage, mxu=mxu)
         last = k == n_sub - 1
         m = k + 1
         for qi in range(q):
@@ -1221,7 +1331,7 @@ def _stream_collide_kernel(
         has_feq_field: bool = False,
         dev_storage: bool = False, debug_mode: str = "full",
         n_sub: int = 1, minor_image: Optional[Tuple[int, int]] = None,
-        emit_u: bool = False):
+        emit_u: bool = False, mxu_rows=None, mxu_dot_mode: str = "off"):
     """Kernel body (2D: by is None). With ``dev_storage`` the state is the
     deviation g = f - w_q (typically in bfloat16): since sum_q e_q w_q = 0,
     only rho gains +1 and the relaxed base term gains -tau_inv.
@@ -1256,6 +1366,10 @@ def _stream_collide_kernel(
         else:
             nsm_block = refs[idx]
             idx += 1
+    mxu_ref = None
+    if mxu_rows is not None:
+        mxu_ref = refs[idx]
+        idx += 1
     out_ref = refs[idx]
     idx += 1
     u_ref = None
@@ -1313,7 +1427,8 @@ def _stream_collide_kernel(
                      ncm_slab_ref=ncm_slab_ref, feq_slab_ref=feq_slab_ref,
                      boundary_kinds=tuple(boundary_kinds),
                      feq_boundary=feq_boundary, minor_image=minor_image,
-                     nsm_slab_ref=nsm_slab_ref)
+                     nsm_slab_ref=nsm_slab_ref, mxu_ref=mxu_ref,
+                     mxu_rows=mxu_rows, mxu_dot_mode=mxu_dot_mode)
         return
 
     def read_feq_field(qi):
@@ -1351,8 +1466,17 @@ def _stream_collide_kernel(
     # fused per-q pipeline: collide (pluggable fragment) -> boundary
     # replace -> pull-stream -> write
     # ------------------------------------------------------------------
+    mxu = None
+    if mxu_ref is not None:
+        def read_all():
+            F = slab[:]
+            if F.dtype != compute_dtype:
+                F = F.astype(compute_dtype)
+            return F
+        mxu = {"ref": mxu_ref, "rows": mxu_rows,
+               "mode": mxu_dot_mode, "read_all": read_all}
     fpost_of = _make_collide(spec, e, w, opposite, cs, d, rho, u, u2,
-                             read, dev_storage)
+                             read, dev_storage, mxu=mxu)
 
     slab_val_shape = ((bx + 2, yhalo + by * S + yhalo, LANES) if is3d
                       else (bx + 2, slab.shape[-2], LANES))
@@ -1514,6 +1638,20 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
     if emit_u and n_sub > 1:
         raise NotImplementedError("emit_u is a single-step residual hook")
 
+    # MXU moment formulation (LETTUCE_MXU=plane|slab): the static moment
+    # matrices enter as a real kernel input (Pallas rejects closed-over
+    # array constants — see benchmarks/micro_moments_mxu.py)
+    mxu_rows = None
+    mxu_dot = mxu_mode()
+    if mxu_dot != "off" and collision_spec is not None:
+        mm = build_mxu_matrix(collision_spec, e, w, opposite, cs, d)
+        if mm is not None:
+            mat_np, mxu_rows = mm
+            in_specs.append(pl.BlockSpec(
+                mat_np.shape, (lambda *_: (_I0,) * mat_np.ndim),
+                memory_space=pltpu.VMEM))
+            inputs.append(jnp.asarray(mat_np))
+
     kernel = partial(
         _stream_collide_kernel,
         e=e, w=w, opposite=opposite, cs=cs, tau_inv=tau_inv,
@@ -1524,7 +1662,8 @@ def fused_stream_collide(f: jax.Array, e: np.ndarray, w: np.ndarray,
         collision_spec=collision_spec,
         has_feq_field=has_feq_field,
         dev_storage=dev_storage, debug_mode=debug_mode, n_sub=n_sub,
-        minor_image=minor_image, emit_u=emit_u)
+        minor_image=minor_image, emit_u=emit_u,
+        mxu_rows=mxu_rows, mxu_dot_mode=mxu_dot)
 
     compiler_params = None
     if vmem_limit_mb is not None:

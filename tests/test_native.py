@@ -911,3 +911,22 @@ def test_kbc_256_kernel_matches_chunked_oracle():
     # f32 reassociation between the kernel's pair-shared algebra and the
     # oracle's einsum ordering; KBC's stabiliser divides amplify ulps
     assert err < 5e-6, err
+
+
+@pytest.mark.parametrize("mode", ["plane", "slab"])
+def test_mxu_moment_formulation(mode, monkeypatch):
+    """LETTUCE_MXU routes the moment-heavy fragments' static matvecs
+    through lax.dot_general (MXU); numerics must match the VPU add/sub
+    trees exactly (same f32 compute, different execution units)."""
+    monkeypatch.setenv("LETTUCE_MXU", mode)
+
+    def make(native):
+        ctx = lt.Context(dtype=jnp.float32, use_native=native)
+        return lt.TaylorGreenVortex(ctx, [8, 8, 128], 100, 0.05,
+                                    stencil=lt.D3Q27(),
+                                    initialize_fneq=False)
+
+    for col_of in (lambda fl: lt.KBCCollision(),
+                   lambda fl: lt.RegularizedCollision(0.8)):
+        ref, nat = _run_both(make, col_of, steps=3)
+        np.testing.assert_allclose(nat, ref, atol=5e-6)
