@@ -25,6 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+MEASURED_BW_GBPS = 604.0  # practical HBM bandwidth, fori-loop saxpy (v5e)
+
+
 def bench_config(name, make_flow, collision_factory, steps, use_native,
                  half_storage=False):
     import lettuce_tpu as lt
@@ -38,7 +41,7 @@ def bench_config(name, make_flow, collision_factory, steps, use_native,
     warm = max(40, steps // 10)
     simulation(warm)
     mlups = simulation(steps)
-    return {
+    row = {
         "name": name,
         "resolution": list(flow.resolution),
         "stencil": type(flow.stencil).__name__,
@@ -46,6 +49,28 @@ def bench_config(name, make_flow, collision_factory, steps, use_native,
         "steps": steps,
         "mlups": round(mlups, 1),
     }
+    # roofline accounting (VERDICT r4 #9): minimum HBM traffic per
+    # cell-step is one read + one write of all q populations, divided by
+    # the temporal-blocking span; achieved GB/s = that traffic x MLUPS.
+    # Percent is vs the measured practical bandwidth, so it is directly
+    # the remaining tuning headroom (halo re-reads are NOT charged, so
+    # 100% is unreachable; the column orders configs by how
+    # bandwidth-efficient each one already is).
+    path = simulation.step_path
+    span = 1
+    if " x" in path:
+        try:
+            span = int(path.rsplit("x", 1)[1])
+        except ValueError:
+            pass
+    itemsize = 2 if half_storage else 4
+    q = flow.stencil.q
+    bytes_per_cell_step = 2.0 * q * itemsize / span
+    gbps = mlups * 1e6 * bytes_per_cell_step / 1e9
+    row["bytes_per_cell_step"] = round(bytes_per_cell_step, 2)
+    row["achieved_gbps"] = round(gbps, 1)
+    row["roofline_pct"] = round(100.0 * gbps / MEASURED_BW_GBPS, 1)
+    return row
 
 
 def _make_obstacle_config(ctx, nx=2048, ny=1024):
