@@ -2172,10 +2172,11 @@ def build_fused_multi_step(simulation: "Simulation",
     elif n_sub is not None:
         candidates = [int(n_sub)]
     elif dev_storage:
-        # measured on v5e (benchmarks/sweep_kernel.py): bf16-dev peaks at
-        # n_sub=2 (8500 MLUPS with the shallow 8-row halo; deeper blocking
-        # is compute-bound)
-        candidates = [2]
+        # wide (f32) slabs make deep bf16 blocking compute-feasible: no
+        # per-sub-step converts/relayouts (round-4 narrow slabs peaked at
+        # n_sub=2, 8500 MLUPS — deeper was compute-bound). x4 halves
+        # HBM traffic to 19 B/cell-step; sweep: benchmarks/sweep_kernel.py
+        candidates = [4, 2]
     elif params["collision_spec"][0] in ("kbc", "mrt") or (
             params["collision_spec"][0] == "reg" and q > 19):
         # compute-bound fragments: blocking's halo recompute
