@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--stencil", default="D3Q19",
                         help="D3Q19 (res 256, 3D sweep) or D2Q9 "
                              "(res 2048, deep-blocking 2D sweep)")
+    parser.add_argument(
+        "--configs", default="",
+        help="semicolon-separated dev,n_sub,btx,bty,vmem,yhalo[,wide] "
+             "rows overriding the built-in table, e.g. "
+             "'1,2,32,32,128,8;0,4,32,64,128,-'")
     args = parser.parse_args()
 
     import lettuce_tpu as lt
@@ -126,6 +131,20 @@ def main():
             (True, 8, (16, 32), 100, None),
             (True, 16, (32, 32), 128, None),
         ]
+    if args.configs:
+        def parse_row(row):
+            parts = row.split(",")
+            dev = bool(int(parts[0]))
+            n_sub = int(parts[1])
+            bt = (int(parts[2]), int(parts[3]))
+            vmem = int(parts[4])
+            yh = None if parts[5] in ("-", "") else int(parts[5])
+            wide = None
+            if len(parts) > 6 and parts[6] not in ("-", ""):
+                wide = bool(int(parts[6]))
+            return (dev, n_sub, bt, vmem, yh, wide)
+        CONFIGS = [parse_row(r) for r in args.configs.split(";") if r]
+
     for cfg in CONFIGS:
         dev, n_sub, bt, vmem, yh = cfg[:5]
         wide = cfg[5] if len(cfg) > 5 else None

@@ -2167,16 +2167,28 @@ def build_fused_multi_step(simulation: "Simulation",
                                                      lead=1)
         params["minor_image"] = padding.minor_image
 
+    if (dev_storage and len(shape) == 3 and padding is None
+            and "block_target" not in params
+            and _os.environ.get("LETTUCE_BLOCK_TARGET") is None):
+        # bf16-dev is VPU-compute-bound (~0.07 ns per slab cell), so the
+        # win is a taller y block cutting the halo-recompute share:
+        # (16, 64) at n_sub=2 measured 10123 MLUPS vs 9636 at (16, 32)
+        # (D3Q19 256^3, benchmarks/sweep_kernel.py). Needs the 128 MB
+        # VMEM budget (f32 slabs ~103 MB); (32, 64) overflows it.
+        params["block_target"] = (16, 64)
+        params["vmem_limit_mb"] = 128
+
     if env is not None:
         candidates = [int(env)]
     elif n_sub is not None:
         candidates = [int(n_sub)]
     elif dev_storage:
-        # wide (f32) slabs make deep bf16 blocking compute-feasible: no
-        # per-sub-step converts/relayouts (round-4 narrow slabs peaked at
-        # n_sub=2, 8500 MLUPS — deeper was compute-bound). x4 halves
-        # HBM traffic to 19 B/cell-step; sweep: benchmarks/sweep_kernel.py
-        candidates = [4, 2]
+        # wide (f32) slabs keep every slab op on native 8-row f32 tiles
+        # (narrow bf16 slabs relayout per sub-step: 8465 vs 9636 MLUPS)
+        # but the kernel stays compute-bound, so deeper blocking loses:
+        # n_sub=2 measured 10123 vs 8827 at n_sub=4 (big blocks, this
+        # chip) — the halo recompute eats the traffic saving
+        candidates = [2]
     elif params["collision_spec"][0] in ("kbc", "mrt") or (
             params["collision_spec"][0] == "reg" and q > 19):
         # compute-bound fragments: blocking's halo recompute
