@@ -541,27 +541,51 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         return acc
 
     if kind == "bgk":
-        # specialised: feq pre-multiplied by tau_inv, fpost = keep f + t feq
+        # specialised: feq pre-multiplied by tau_inv, fpost = keep f + t feq.
+        # Opposite pairs share everything but the eu sign (w[q] == w[opp]
+        # for every standard stencil), so the whole weighted equilibrium is
+        # cached per canonical direction as (G, H) with
+        #   G = w (base + quad),  H = w trho eu_canonical
+        # and the steady per-q work collapses to keep*f + (G +- H).
         tau_inv = spec[1]
         keep = 1.0 - tau_inv
         base = tau_inv * (rho - rho * (u2 * (0.5 / cs2)))
         if dev_storage:
             base = base - tau_inv
         trho = tau_inv * rho
-        quad_cache = {}
+        wbase_cache = {}
+        pair_cache = {}
+
+        def eu_canon(key):
+            acc = None
+            for comp, uc in zip(key, up):
+                if comp == 0:
+                    continue
+                term = uc if comp == 1 else -uc
+                acc = term if acc is None else acc + term
+            return acc
 
         def fpost_bgk(qi):
             fi = read(qi)
-            eu = eu_of(qi)
-            if eu is None:
-                feq_t = float(w[qi]) * base
-            else:
-                key = canonical(qi)
-                quad = quad_cache.get(key)
-                if quad is None:
-                    quad = trho * (eu * eu * 0.5)
-                    quad_cache[key] = quad
-                feq_t = float(w[qi]) * (base + trho * eu + quad)
+            row = tuple(int(c) for c in e[qi])
+            wq = float(w[qi])
+            if not any(row):
+                return keep * fi + wq * base
+            key = canonical(qi)
+            gh = pair_cache.get(key)
+            if gh is None:
+                eu = eu_canon(key)
+                teu = trho * eu
+                H = wq * teu
+                quad_w = (0.5 * wq) * (teu * eu)
+                wb = wbase_cache.get(wq)
+                if wb is None:
+                    wb = wq * base
+                    wbase_cache[wq] = wb
+                gh = (wb + quad_w, H)
+                pair_cache[key] = gh
+            G, H = gh
+            feq_t = G + H if row == key else G - H
             return keep * fi + feq_t
         return fpost_bgk
 
@@ -631,22 +655,39 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
             return out
         return fpost_bgk_force
 
-    # raw (not tau-scaled) equilibrium shared by the remaining fragments
+    # raw (not tau-scaled) equilibrium shared by the remaining fragments;
+    # same opposite-pair (G, H) caching as the BGK fragment
     base0 = rho - rho * (u2 * (0.5 / cs2))
     if dev_storage:
         base0 = base0 - 1.0
-    quad_cache0 = {}
+    wbase_cache0 = {}
+    pair_cache0 = {}
 
     def feq_raw(qi):
-        eu = eu_of(qi)
-        if eu is None:
-            return float(w[qi]) * base0
+        row = tuple(int(c) for c in e[qi])
+        wq = float(w[qi])
+        if not any(row):
+            return wq * base0
         key = canonical(qi)
-        quad = quad_cache0.get(key)
-        if quad is None:
-            quad = rho * (eu * eu * 0.5)
-            quad_cache0[key] = quad
-        return float(w[qi]) * (base0 + rho * eu + quad)
+        gh = pair_cache0.get(key)
+        if gh is None:
+            acc = None
+            for comp, uc in zip(key, up):
+                if comp == 0:
+                    continue
+                term = uc if comp == 1 else -uc
+                acc = term if acc is None else acc + term
+            reu = rho * acc
+            H = wq * reu
+            quad_w = (0.5 * wq) * (reu * acc)
+            wb = wbase_cache0.get(wq)
+            if wb is None:
+                wb = wq * base0
+                wbase_cache0[wq] = wb
+            gh = (wb + quad_w, H)
+            pair_cache0[key] = gh
+        G, H = gh
+        return G + H if row == key else G - H
 
     if kind == "trt":
         _, tau_plus, tau_minus = spec
@@ -1167,17 +1208,35 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
 
 def _moments(read, q: int, e: np.ndarray, d: int, dev_storage: bool):
     """rho, u, u2 as add/sub trees over the populations (e components in
-    {-1, 0, 1}: no multiplies)."""
+    {-1, 0, 1}: no multiplies). Opposite pairs are folded first: rho rides
+    the pair sums (one add per pair instead of two) and each j component
+    rides the pair diffs (|e_a| = 1 on at most d of the q directions), so
+    D3Q19 takes 39 adds instead of 45."""
+    idx = {tuple(int(c) for c in e[qi]): qi for qi in range(q)}
     rho = None
     j = [None] * d
+    seen = set()
     for qi in range(q):
-        fi = read(qi)
-        rho = fi if rho is None else rho + fi
+        row = tuple(int(c) for c in e[qi])
+        if not any(row):
+            fi = read(qi)
+            rho = fi if rho is None else rho + fi
+            continue
+        if qi in seen:
+            continue
+        opp = idx[tuple(-c for c in row)]
+        seen.add(qi)
+        seen.add(opp)
+        fa = read(qi)
+        fb = read(opp)
+        s = fa + fb
+        dif = fa - fb
+        rho = s if rho is None else rho + s
         for a in range(d):
             if e[qi, a] == 1:
-                j[a] = fi if j[a] is None else j[a] + fi
+                j[a] = dif if j[a] is None else j[a] + dif
             elif e[qi, a] == -1:
-                j[a] = -fi if j[a] is None else j[a] - fi
+                j[a] = -dif if j[a] is None else j[a] - dif
     if dev_storage:
         rho = rho + 1.0
     inv_rho = 1.0 / rho
