@@ -618,7 +618,11 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
         if dev_storage:
             base = base - tau_inv
         trho = tau_inv * rho
-        quad_cache = {}
+        # same opposite-pair (G, H) caching as the plain BGK fragment; eu
+        # flips sign across the pair, so the cached quad/source pieces are
+        # keyed by the canonical direction and combined as G +- H
+        wbase_cache = {}
+        pair_cache = {}
 
         ua = None  # u_f . a
         if src_pref is not None:
@@ -632,27 +636,43 @@ def _make_collide(spec, e, w, opposite, cs, d, rho, u, u2, read,
 
         def fpost_bgk_force(qi):
             fi = read(qi)
+            row = tuple(int(c) for c in e[qi])
+            wq = float(w[qi])
             eu = euf_of(qi)
             if eu is None:
-                feq_t = float(w[qi]) * base
-            else:
-                key = canonical(qi)
-                quad = quad_cache.get(key)
-                if quad is None:
-                    quad = trho * (eu * eu * 0.5)
-                    quad_cache[key] = quad
-                feq_t = float(w[qi]) * (base + trho * eu + quad)
-            out = keep * fi + feq_t
-            if src_pref is not None:
-                ea = 0.0
-                for comp, ac in zip(e[qi], accel):
-                    ea += float(comp) * float(ac)
-                coef = src_pref * float(w[qi]) / cs2
-                si = -coef * ua + coef * ea
-                if eu is not None and ea != 0.0:
-                    si = si + (coef * ea) * eu
-                out = out + si
-            return out
+                out = keep * fi + wq * base
+                if src_pref is not None:
+                    out = out - (src_pref * wq / cs2) * ua
+                return out
+            key = canonical(qi)
+            gh = pair_cache.get(key)
+            if gh is None:
+                # compute for the canonical orientation: eu_canon flips
+                # sign when this qi is the anti-canonical member
+                eu_c = eu if row == key else -eu
+                teu = trho * eu_c
+                H = wq * teu
+                quad_w = (0.5 * wq) * (teu * eu_c)
+                wb = wbase_cache.get(wq)
+                if wb is None:
+                    wb = wq * base
+                    wbase_cache[wq] = wb
+                G = wb + quad_w
+                if src_pref is not None:
+                    coef = src_pref * wq / cs2
+                    ea_c = 0.0
+                    for comp, ac in zip(key, accel):
+                        ea_c += float(comp) * float(ac)
+                    # source split into pair-even / pair-odd parts:
+                    # si = coef(-ua + ea eu) + coef ea  (ea, eu flip sign)
+                    G = G - coef * ua
+                    if ea_c != 0.0:
+                        G = G + (coef * ea_c) * eu_c
+                        H = H + coef * ea_c
+                gh = (G, H)
+                pair_cache[key] = gh
+            G, H = gh
+            return keep * fi + (G + H if row == key else G - H)
         return fpost_bgk_force
 
     # raw (not tau-scaled) equilibrium shared by the remaining fragments;
