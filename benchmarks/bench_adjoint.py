@@ -126,6 +126,7 @@ def main():
         if only is not None and name not in only:
             continue
         rows.append(bench_grad(name, mk, coll, args.steps, mode))
+        print(json.dumps(rows[-1]), flush=True)
         if args.jnp_vjp:
             os.environ["LETTUCE_ADJOINT"] = "0"
             try:

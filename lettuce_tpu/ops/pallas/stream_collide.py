@@ -2363,6 +2363,13 @@ def build_fused_multi_step(simulation: "Simulation",
                         "blocked adjoint needs per-sub-step state for the "
                         "smagorinsky relaxation derivative")
                 bt = params.get("block_target", (16, 32))
+                if len(shape) == 3:
+                    # the adjoint launch carries two slabs, the n_sub*d
+                    # velocity-residual slab AND double-buffered windows
+                    # for both f and the cotangent — the forward's (16,32)
+                    # block overflows VMEM on v5e (n=2 needs 148 of
+                    # 128 MB, n=4 133 MB even at (8,16)); measured fits:
+                    bt = (8, 8) if ns >= 4 else (16, 16)
                 plan_adjoint_multi(
                     tuple(simulation.flow.resolution), q,
                     simulation.flow.f.dtype, ns, block_target=bt)

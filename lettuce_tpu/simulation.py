@@ -120,6 +120,7 @@ class Simulation:
         self._step_kind = "jnp"
         self._step_multi = None      # (fn, span): temporally-blocked kernel
         self._step_dev_multi = None
+        self._step_multi_grad = None  # span-2 blocked step for segments
         if self.context.use_native:
             native_step = self._try_build_native_step()
             if native_step is not None:
@@ -338,6 +339,21 @@ class Simulation:
         # bulk — forward AND backward then run at blocked-kernel speed —
         # and finish the remainder with the single-step kernel
         multi = self._step_multi
+        # the blocked adjoint's recompute cone grows ~n_sub^2 (deeper
+        # halos AND smaller VMEM-fitting blocks), so gradient rollouts
+        # peak at span 2: 1767 vs 810 MLUPS fwd+bwd at D3Q19 256^3 for
+        # x2 vs x4 (benchmarks/bench_adjoint.py) even though the plain
+        # forward prefers x4 — build (and cache) a span-2 blocked step
+        # for segments
+        if (multi is not None and multi[1] > 2
+                and getattr(multi[0], "adjoint_kernel", False)):
+            if self._step_multi_grad is None:
+                from .ops.pallas import build_fused_multi_step
+                self._step_multi_grad = build_fused_multi_step(self,
+                                                               n_sub=2)
+            g2 = self._step_multi_grad
+            if g2 is not None and getattr(g2[0], "adjoint_kernel", False):
+                multi = g2
         if (multi is not None
                 and getattr(multi[0], "adjoint_kernel", False)
                 and pad is None and int(num_steps) >= multi[1]):
