@@ -92,9 +92,10 @@ def main():
     args = ap.parse_args()
     n = args.size
 
-    def tgv3d(stencil):
+    def tgv3d(stencil, size=None):
+        m = size or n
         return lambda ctx: lt.TaylorGreenVortex(
-            ctx, [n, n, n], 1600, 0.05, stencil=stencil,
+            ctx, [m, m, m], 1600, 0.05, stencil=stencil,
             initialize_fneq=False)
 
     tau_of = lambda flow: flow.units.relaxation_parameter_lu
@@ -103,7 +104,10 @@ def main():
          lambda fl: lt.BGKCollision(tau_of(fl)), "full"),
         ("smagorinsky_d3q19", tgv3d(lt.D3Q19()),
          lambda fl: lt.SmagorinskyCollision(tau_of(fl)), "full"),
-        ("kbc_d3q27", tgv3d(lt.D3Q27()),
+        # split-adjoint residuals are full states (no closed-form
+        # jacobian fragment), so 8 steps of D3Q27 residuals at 256^3
+        # need ~41 GB — benched at 128^3 (the KBC comparison size)
+        ("kbc_d3q27", tgv3d(lt.D3Q27(), size=min(n, 128)),
          lambda fl: lt.KBCCollision(tau_of(fl)), "split"),
         ("mrt_lallemand_d2q9",
          lambda ctx: lt.TaylorGreenVortex(
