@@ -198,6 +198,16 @@ def main():
         if args.only and args.only not in name:
             continue
         for use_native in ((True, False) if on_accel else (True,)):
+            if (name == "kbc3d_256_d3q27" and not use_native
+                    and on_accel):
+                # the un-fused jnp KBC step at D3Q27 256^3 needs ~32 GB
+                # HBM; on the axon tunnel the OOM FAULTS the device
+                # (UNAVAILABLE for ~15 min) instead of raising — skip.
+                # Kernel-vs-jnp equivalence at this size is covered by
+                # the chunked oracle (tests/test_native.py).
+                print(f"{name} native=False: SKIPPED (32 GB jnp step "
+                      "faults the 16 GB device)", flush=True)
+                continue
             try:
                 # aim for >= ~8e9 site updates per timed run: the axon
                 # tunnel's dispatch + one-element-fetch overhead is
