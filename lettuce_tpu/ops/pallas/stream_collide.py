@@ -2264,10 +2264,13 @@ def build_fused_multi_step(simulation: "Simulation",
     elif dev_storage:
         # wide (f32) slabs keep every slab op on native 8-row f32 tiles
         # (narrow bf16 slabs relayout per sub-step: 8465 vs 9636 MLUPS)
-        # but the kernel stays compute-bound, so deeper blocking loses:
-        # n_sub=2 measured 10123 vs 8827 at n_sub=4 (big blocks, this
-        # chip) — the halo recompute eats the traffic saving
-        candidates = [2]
+        # but the 3D kernel stays compute-bound, so deeper blocking
+        # loses: n_sub=2 measured 10123 vs 8827 at n_sub=4 (big blocks,
+        # this chip) — the halo recompute eats the traffic saving. In 2D
+        # the halo amp is tiny ((bx+2n)/bx with bx up to 128), so one
+        # more doubling pays: n_sub=4 15638 vs 14177 at n_sub=2
+        # (D2Q9 2048^2 sweep)
+        candidates = [2] if len(shape) == 3 else [4, 2]
     elif params["collision_spec"][0] in ("kbc", "mrt") or (
             params["collision_spec"][0] == "reg" and q > 19):
         # compute-bound fragments: blocking's halo recompute
@@ -2277,7 +2280,11 @@ def build_fused_multi_step(simulation: "Simulation",
         candidates = [2]
     else:
         # memory-bound fragments (f32): peak at n_sub=4 (8644 MLUPS vs
-        # 5693 at n_sub=2 for BGK D3Q19 256^3)
+        # 5693 at n_sub=2 for BGK D3Q19 256^3). 2D n_sub=8 looked +27%
+        # in the short-run sweep but that was dispatch-overhead bias:
+        # end-to-end it gains only ~2% on pure TGV and LOSES 5-15% on
+        # masked/forced configs (couette 18848 vs 20835, cavity 17645
+        # vs 20700, poiseuille 17808 vs 19666) — stay at 4
         candidates = [4, 2]
     if padding is not None:
         # ghost images stay valid for max_n_sub in-slab sub-steps
